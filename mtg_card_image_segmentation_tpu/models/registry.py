@@ -1,0 +1,58 @@
+"""Model factory — the ``create_model`` entry point every pipeline shares
+(replaces the three per-pipeline factories: train/model.py:145,
+train-pose-estimation_custom/model.py:195, *_yolo12n/model.py:43)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.config import ModelConfig, PoseModelConfig
+
+_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def available_models():
+    return sorted(_REGISTRY)
+
+
+def create_model(name: str, **kwargs):
+    if name not in _REGISTRY:
+        raise KeyError(f"Unknown model {name!r}; available: {available_models()}")
+    return _REGISTRY[name](**kwargs)
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+@register("lraspp_mobilenet_v3_large")
+def _lraspp(num_classes: int = 2, inter_channels: int = 128,
+            compute_dtype: str = "bfloat16", param_dtype: str = "float32"):
+    from mtg_card_image_segmentation_tpu.models.lraspp import CardSegmentationModel
+
+    return CardSegmentationModel(
+        num_classes=num_classes,
+        inter_channels=inter_channels,
+        dtype=_dtype(compute_dtype),
+        param_dtype=_dtype(param_dtype),
+    )
+
+
+def from_config(cfg: ModelConfig):
+    return create_model(
+        cfg.name,
+        num_classes=cfg.num_classes,
+        inter_channels=cfg.inter_channels,
+        compute_dtype=cfg.compute_dtype,
+        param_dtype=cfg.param_dtype,
+    )

@@ -1,0 +1,87 @@
+"""Headline benchmark: batched segmentation inference throughput at 512x512.
+
+North star (BASELINE.json): >= 5,000 images/sec/chip at 512x512 on v5e with
+mIoU parity. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_SEC = 5000.0
+
+
+def _time_fn(fn, args, iters: int, warmup: int = 5) -> float:
+    """Honest step timing: device execution is in-order, so materializing a
+    scalar from the *last* output on the host lower-bounds completion of all
+    dispatched steps. (block_until_ready alone reports early through the
+    axon remote relay — do not trust it for timing.)"""
+    for _ in range(warmup):
+        out = fn(*args)
+    _ = np.asarray(jax.jit(jnp.sum)(out))  # fence
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = np.asarray(jax.jit(jnp.sum)(out))  # fence: waits for all iters
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--batches", type=int, nargs="*", default=[32, 64, 128])
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    from mtg_card_image_segmentation_tpu.models import create_model
+
+    model = create_model("lraspp_mobilenet_v3_large")
+    init_x = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, init_x, train=False))(
+        jax.random.key(0)
+    )
+
+    @jax.jit
+    def forward(variables, images):
+        logits = model.apply(variables, images, train=False)
+        # return the argmax mask (what a serving consumer wants) — keeps the
+        # device->host result small and makes the timing honest
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    best = 0.0
+    best_batch = 0
+    rng = np.random.default_rng(0)
+    for batch in args.batches:
+        images = jnp.asarray(
+            rng.standard_normal((batch, args.size, args.size, 3)), jnp.float32
+        )
+        dt = _time_fn(forward, (variables, images), args.iters)
+        ips = batch / dt
+        if args.verbose:
+            print(f"# batch={batch}: {dt * 1e3:.2f} ms -> {ips:.0f} img/s")
+        if ips > best:
+            best, best_batch = ips, batch
+
+    print(
+        json.dumps(
+            {
+                "metric": f"seg_inference_images_per_sec_{args.size}x{args.size}_b{best_batch}",
+                "value": round(best, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

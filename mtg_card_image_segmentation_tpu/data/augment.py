@@ -1,0 +1,205 @@
+"""On-device, fully-jittable augmentation suite.
+
+Behavioral spec: the albumentations training pipeline at
+train/dataset.py:100-187 (HFlip 0.5; Affine translate 25% / scale 0.9-2 /
+rotate +-15 @ p=0.8; Elastic alpha=50 sigma=5 @ 0.3; GridDistortion 5 steps
+limit 0.1 @ 0.3; ColorJitter 0.2/0.2/0.2/0.1 @ 0.8; RandomBrightnessContrast
+0.2/0.2 @ 0.6; OneOf{GaussNoise std 0.1-0.2, GaussianBlur} @ 0.5) — but
+re-designed for the TPU instead of ported:
+
+- ALL geometric transforms (flip, affine, elastic, grid-distortion) compose
+  into ONE source-coordinate field and the image is warped exactly once
+  (bilinear; mask: nearest) — one gather instead of albumentations' four
+  sequential CPU warps.
+- Probabilities gate via `jnp.where` blending, not Python branches, so one
+  compiled program covers every random draw (XLA-friendly control flow).
+- Everything is keyed per-sample and `vmap`ed over the batch; the same code
+  path runs under the sharded data pipeline on device.
+- Color deviations from the reference (documented): jitter ops apply in fixed
+  order (not shuffled) and hue shift uses a YIQ rotation instead of HSV
+  round-trip. Both are training-equivalent and much cheaper on the VPU.
+
+Keypoint-aware variant: when ``keypoints`` are passed, elastic/grid are
+disabled (the reference's pose pipelines likewise restrict themselves to
+keypoint-consistent transforms, train-pose-estimation_custom/dataset.py:16-34)
+and coordinates go through the exact same forward affine.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.config import AugmentConfig
+from mtg_card_image_segmentation_tpu.data import warp as W
+
+
+class AugmentOut(NamedTuple):
+    image: jax.Array  # (H, W, 3) float32 in [0, 1]
+    mask: jax.Array  # (H, W) int32
+    keypoints: Optional[jax.Array] = None  # (K, 2) xy pixels
+
+
+def _geometry_matrix(key: jax.Array, h: int, w: int, cfg: AugmentConfig) -> jax.Array:
+    """Forward 3x3 matrix composing hflip and affine (both probability-gated)."""
+    k_flip, k_p_aff, k_tr, k_sc, k_rot = jax.random.split(key, 5)
+
+    do_flip = jax.random.bernoulli(k_flip, cfg.hflip_prob)
+    flip = jnp.where(
+        do_flip,
+        jnp.array([[-1.0, 0.0, float(w - 1)], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]),
+        jnp.eye(3),
+    )
+
+    do_aff = jax.random.bernoulli(k_p_aff, cfg.affine_prob)
+    t = jax.random.uniform(
+        k_tr, (2,), minval=-cfg.translate_percent, maxval=cfg.translate_percent
+    ) * jnp.array([h, w], jnp.float32)
+    s = jax.random.uniform(k_sc, minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+    a = jnp.deg2rad(
+        jax.random.uniform(
+            k_rot, minval=-cfg.rotate_limit_deg, maxval=cfg.rotate_limit_deg
+        )
+    )
+    affine = W.affine_matrix(t, s, a, ((h - 1) / 2.0, (w - 1) / 2.0))
+    affine = jnp.where(do_aff, affine, jnp.eye(3))
+    return affine @ flip
+
+
+def _displacement_fields(
+    key: jax.Array, h: int, w: int, cfg: AugmentConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """Elastic + grid-distortion source-coordinate *offsets* (dy, dx)."""
+    k_pe, k_ey, k_ex, k_pg, k_gy, k_gx = jax.random.split(key, 6)
+
+    # elastic: smoothed uniform noise * alpha
+    do_el = jax.random.bernoulli(k_pe, cfg.elastic_prob).astype(jnp.float32)
+    radius = max(1, int(3 * cfg.elastic_sigma))
+    ny = jax.random.uniform(k_ey, (h, w, 1), minval=-1.0, maxval=1.0)
+    nx = jax.random.uniform(k_ex, (h, w, 1), minval=-1.0, maxval=1.0)
+    sigma = jnp.asarray(cfg.elastic_sigma)
+    dy = W.gaussian_blur(ny, sigma, radius)[..., 0] * cfg.elastic_alpha * do_el
+    dx = W.gaussian_blur(nx, sigma, radius)[..., 0] * cfg.elastic_alpha * do_el
+
+    # grid distortion: per-axis piecewise-linear remap over num_steps cells
+    do_gr = jax.random.bernoulli(k_pg, cfg.grid_distort_prob).astype(jnp.float32)
+    steps = cfg.grid_num_steps
+
+    def axis_map(k, size):
+        scales = 1.0 + jax.random.uniform(
+            k, (steps,), minval=-cfg.grid_distort_limit, maxval=cfg.grid_distort_limit
+        )
+        widths = (size / steps) * scales
+        nodes_src = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(widths)])
+        nodes_dst = jnp.linspace(0.0, float(size), steps + 1)
+        coords = jnp.arange(size, dtype=jnp.float32)
+        return jnp.interp(coords, nodes_dst, nodes_src)
+
+    gy = axis_map(k_gy, h)  # (h,)
+    gx = axis_map(k_gx, w)  # (w,)
+    y_id = jnp.arange(h, dtype=jnp.float32)
+    x_id = jnp.arange(w, dtype=jnp.float32)
+    dy = dy + ((gy - y_id)[:, None] * do_gr)
+    dx = dx + ((gx - x_id)[None, :] * do_gr)
+    return dy, dx
+
+
+def _color_ops(key: jax.Array, img: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """ColorJitter + RandomBrightnessContrast + OneOf(noise, blur)."""
+    (k_pj, k_b, k_c, k_s, k_h, k_pbc, k_b2, k_c2, k_pnb, k_which,
+     k_std, k_noise, k_sig) = jax.random.split(key, 13)
+
+    x = img
+    # --- ColorJitter (p=0.8), fixed order b, c, s, h ---
+    do = jax.random.bernoulli(k_pj, cfg.color_jitter_prob).astype(jnp.float32)
+    b = 1.0 + do * jax.random.uniform(k_b, minval=-cfg.brightness, maxval=cfg.brightness)
+    x = x * b
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    c = 1.0 + do * jax.random.uniform(k_c, minval=-cfg.contrast, maxval=cfg.contrast)
+    x = (x - jnp.mean(gray)) * c + jnp.mean(gray)
+    s = 1.0 + do * jax.random.uniform(k_s, minval=-cfg.saturation, maxval=cfg.saturation)
+    x = gray + (x - gray) * s
+    # hue: rotation in the IQ chroma plane (YIQ), angle = hue * 2pi
+    theta = do * jax.random.uniform(k_h, minval=-cfg.hue, maxval=cfg.hue) * 2.0 * jnp.pi
+    rgb2yiq = jnp.array(
+        [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]]
+    )
+    # exact inverse (the published yiq->rgb constants are rounded and would
+    # break the theta=0 identity by ~1e-3)
+    yiq2rgb = jnp.linalg.inv(rgb2yiq)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, cos_t, -sin_t], [0.0, sin_t, cos_t]]
+    )
+    x = x @ (yiq2rgb @ rot @ rgb2yiq).T
+
+    # --- RandomBrightnessContrast (p=0.6) ---
+    do2 = jax.random.bernoulli(k_pbc, cfg.brightness_contrast_prob).astype(jnp.float32)
+    b2 = do2 * jax.random.uniform(k_b2, minval=-cfg.brightness, maxval=cfg.brightness)
+    c2 = 1.0 + do2 * jax.random.uniform(k_c2, minval=-cfg.contrast, maxval=cfg.contrast)
+    x = x * c2 + b2
+
+    # --- OneOf {gauss noise, gauss blur} (p=0.5) ---
+    do3 = jax.random.bernoulli(k_pnb, cfg.noise_blur_prob).astype(jnp.float32)
+    pick_noise = jax.random.bernoulli(k_which, 0.5).astype(jnp.float32)
+    std = jax.random.uniform(
+        k_std, minval=cfg.noise_std_range[0], maxval=cfg.noise_std_range[1]
+    )
+    noise = jax.random.normal(k_noise, x.shape) * std
+    sigma = jax.random.uniform(
+        k_sig, minval=cfg.blur_sigma_range[0], maxval=cfg.blur_sigma_range[1]
+    )
+    blurred = W.gaussian_blur(x, sigma, radius=5)
+    x = x + do3 * pick_noise * noise
+    x = jnp.where(do3 * (1.0 - pick_noise) > 0.0, blurred, x)
+
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def augment_sample(
+    key: jax.Array,
+    image: jax.Array,
+    mask: jax.Array,
+    cfg: AugmentConfig = AugmentConfig(),
+    keypoints: Optional[jax.Array] = None,
+) -> AugmentOut:
+    """Augment one (H, W, 3) [0,1] image + (H, W) mask (+ optional (K, 2) xy
+    keypoints). One fused geometric warp, then color ops."""
+    h, w = image.shape[0], image.shape[1]
+    k_geo, k_disp, k_color = jax.random.split(key, 3)
+
+    m_fwd = _geometry_matrix(k_geo, h, w, cfg)
+    m_inv = W.invert_affine(m_fwd)
+    src_y, src_x = W.apply_homography_grid(m_inv, h, w)
+
+    if keypoints is None:
+        dy, dx = _displacement_fields(k_disp, h, w, cfg)
+        src_y = src_y + dy
+        src_x = src_x + dx
+        new_kpts = None
+    else:
+        new_kpts = W.transform_points(m_fwd, keypoints)
+
+    img_out = W.warp_bilinear(image, src_y, src_x)
+    mask_out = W.warp_nearest(mask.astype(jnp.int32), src_y, src_x)
+    img_out = _color_ops(k_color, img_out, cfg)
+    return AugmentOut(img_out, mask_out, new_kpts)
+
+
+def augment_batch(
+    key: jax.Array,
+    images: jax.Array,
+    masks: jax.Array,
+    cfg: AugmentConfig = AugmentConfig(),
+    keypoints: Optional[jax.Array] = None,
+) -> AugmentOut:
+    """vmapped per-sample augmentation over (B, H, W, 3) / (B, H, W)."""
+    keys = jax.random.split(key, images.shape[0])
+    if keypoints is None:
+        fn = lambda k, i, m: augment_sample(k, i, m, cfg)
+        out = jax.vmap(fn)(keys, images, masks)
+        return AugmentOut(out.image, out.mask, None)
+    fn = lambda k, i, m, p: augment_sample(k, i, m, cfg, p)
+    return jax.vmap(fn)(keys, images, masks, keypoints)

@@ -1,0 +1,173 @@
+"""Input pipelines: device-resident synthetic stream + host-decode file
+stream, both yielding mesh-sharded (images, masks) batches.
+
+Replaces the reference's torch DataLoader (train/dataset.py:208-260, 4 CPU
+workers doing decode+augment per sample). The TPU-native design moves
+augmentation onto the device (data/augment.py) and — for the synthetic
+source — generates the data there too, so the hot path never blocks on the
+host at all.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.config import AugmentConfig
+from mtg_card_image_segmentation_tpu.data.augment import augment_batch
+from mtg_card_image_segmentation_tpu.data.dataset import CardSegmentationDataset
+from mtg_card_image_segmentation_tpu.data.preprocess import (
+    normalize_only,
+    preprocess_batch,
+)
+from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
+from mtg_card_image_segmentation_tpu.parallel.mesh import shard_batch
+
+
+class SyntheticPipeline:
+    """Infinite on-device stream of rendered+augmented+normalized batches."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        height: int,
+        width: int,
+        mesh=None,
+        augment: Optional[AugmentConfig] = AugmentConfig(),
+        seed: int = 0,
+    ) -> None:
+        self.batch_size = batch_size
+        self.height = height
+        self.width = width
+        self.mesh = mesh
+        self.augment = augment
+        self._key = jax.random.key(seed)
+
+        aug = augment
+
+        def make(key):
+            k_gen, k_aug = jax.random.split(key)
+            sample = synthetic_batch(k_gen, batch_size, height, width)
+            images, masks = sample.image, sample.mask
+            if aug is not None and aug.enabled:
+                out = augment_batch(k_aug, images, masks, aug)
+                images, masks = out.image, out.mask
+            return normalize_only(images), masks
+
+        self._make = jax.jit(make)
+
+    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        while True:
+            self._key, sub = jax.random.split(self._key)
+            images, masks = self._make(sub)
+            if self.mesh is not None:
+                images, masks = shard_batch(self.mesh, images, masks)
+            yield images, masks
+
+
+class FilePipeline:
+    """Host-decode (cv2, prefetch thread) -> device resize/normalize/augment.
+
+    Yields ``steps_per_epoch`` batches per epoch; pass ``shuffle=False`` for
+    evaluation. The last incomplete batch is dropped in training (reference
+    drop_last=True, train/dataset.py:208-260) and padded in eval.
+    """
+
+    def __init__(
+        self,
+        dataset: CardSegmentationDataset,
+        batch_size: int,
+        height: int,
+        width: int,
+        mesh=None,
+        augment: Optional[AugmentConfig] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.height = height
+        self.width = width
+        self.mesh = mesh
+        self.augment = augment
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+
+    @property
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _host_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n = self.steps_per_epoch
+        for b in range(n):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            imgs, masks = [], []
+            for i in idxs:
+                img, m = self.dataset.load_raw(int(i))
+                imgs.append(img)
+                masks.append(m)
+            while len(imgs) < self.batch_size:  # eval padding
+                imgs.append(np.zeros_like(imgs[0]))
+                masks.append(np.zeros_like(masks[0]))
+            # host-side resize to a common shape only if sizes differ
+            shapes = {im.shape for im in imgs}
+            if len(shapes) > 1:
+                import cv2
+
+                h0, w0 = imgs[0].shape[:2]
+                imgs = [
+                    cv2.resize(im, (w0, h0), interpolation=cv2.INTER_LINEAR)
+                    for im in imgs
+                ]
+                masks = [
+                    cv2.resize(m, (w0, h0), interpolation=cv2.INTER_NEAREST)
+                    for m in masks
+                ]
+            yield np.stack(imgs), np.stack(masks), len(idxs)
+
+    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """One epoch of device batches (prefetched by a host thread)."""
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in self._host_batches():
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            imgs_u8, masks_u8, _ = item
+            images, masks = preprocess_batch(
+                jnp.asarray(imgs_u8), jnp.asarray(masks_u8),
+                self.height, self.width, self.augment is None,
+            )
+            if self.augment is not None and self.augment.enabled:
+                # augment on [0,1] images, then normalize
+                self._key, sub = jax.random.split(self._key)
+                out = augment_batch(sub, images, masks, self.augment)
+                images, masks = normalize_only(out.image), out.mask
+            if self.mesh is not None:
+                images, masks = shard_batch(self.mesh, images, masks)
+            yield images, masks

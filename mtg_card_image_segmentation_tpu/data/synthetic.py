@@ -1,0 +1,198 @@
+"""JAX-native procedural synthetic card renderer — the TPU-first replacement
+for the reference's BlenderProc/Cycles generator
+(dataset_generator/generate_synthetic.py).
+
+The reference renders physical card meshes offline on CPU/GPU Blender
+(63x88 mm card, bevel-rounded corners :123-187; random camera pose :252-324;
+HDRI lighting :326-361; binary 255-mask output :397-454) and writes
+image/mask PNGs to disk. Here the whole thing is a closed-form, fully-fused
+program that runs *on the TPU inside the input pipeline*:
+
+- card coverage is a rounded-rect SDF evaluated in card-space (the mesh
+  bevel becomes an analytic corner radius),
+- the camera pose becomes a random perspective homography (4 jittered
+  corners -> DLT solve on device),
+- texture and background are procedural functions of (u, v) — border frame,
+  art box, title/text bands, sinusoidal mottling — no texture fetch at all,
+- HDRI lighting becomes a low-frequency illumination field + vignette.
+
+Every sample is pure f(key) -> (image, mask, corners), so data generation
+shards over the mesh with the training step and never touches the host.
+~9% of samples are card-free negatives, mirroring the reference's background
+negatives (800/8800, dataset_generator/04_random_background_downloader.py).
+
+Corners are emitted in card-frame order TL, TR, BR, BL — the order the
+reference's corner_annotations.json contract uses
+(train/preprocess_masks.py:196-223) and the pose pipelines consume with
+flip_idx [1, 0, 3, 2] (*_yolo12n/model.py:368).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.data import warp as W
+
+# physical card geometry (mm) — generate_synthetic.py:63-67
+CARD_W_MM = 63.0
+CARD_H_MM = 88.0
+CORNER_RADIUS_MM = 3.0
+NEGATIVE_PROB = 0.09  # ~800/8800 background-only samples
+
+
+class SyntheticSample(NamedTuple):
+    image: jax.Array  # (H, W, 3) float32 in [0, 1]
+    mask: jax.Array  # (H, W) int32 {0, 1}
+    corners: jax.Array  # (4, 2) xy pixels, TL TR BR BL; -1 when no card
+    has_card: jax.Array  # () bool
+
+
+def _rounded_rect_sdf(u: jax.Array, v: jax.Array) -> jax.Array:
+    """Signed distance (mm) to the rounded card rectangle, card space uv in
+    [0,1]^2 -> mm coords."""
+    px = u * CARD_W_MM - CARD_W_MM / 2.0
+    py = v * CARD_H_MM - CARD_H_MM / 2.0
+    half = jnp.array([CARD_W_MM / 2.0, CARD_H_MM / 2.0]) - CORNER_RADIUS_MM
+    qx = jnp.abs(px) - half[0]
+    qy = jnp.abs(py) - half[1]
+    outside = jnp.sqrt(jnp.maximum(qx, 0.0) ** 2 + jnp.maximum(qy, 0.0) ** 2)
+    inside = jnp.minimum(jnp.maximum(qx, qy), 0.0)
+    return outside + inside - CORNER_RADIUS_MM
+
+
+def _band(x: jax.Array, lo: float, hi: float, soft: float = 0.01) -> jax.Array:
+    """Smooth indicator of lo <= x <= hi."""
+    return jax.nn.sigmoid((x - lo) / soft) * jax.nn.sigmoid((hi - x) / soft)
+
+
+def _card_texture(key: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Procedural MTG-like face: border frame, title band, art box, text box,
+    mottled art noise. Returns (..., 3) in [0,1]."""
+    keys = jax.random.split(key, 6)
+    border_col = jax.random.uniform(keys[0], (3,), minval=0.0, maxval=0.15)
+    frame_col = jax.random.uniform(keys[1], (3,), minval=0.2, maxval=0.9)
+    art_col = jax.random.uniform(keys[2], (3,), minval=0.1, maxval=0.9)
+    art_col2 = jax.random.uniform(keys[3], (3,), minval=0.1, maxval=0.9)
+    text_col = jax.random.uniform(keys[4], (3,), minval=0.7, maxval=0.95)
+    f1, f2, p1, p2 = jax.random.uniform(keys[5], (4,), minval=0.0, maxval=1.0)
+
+    inner = _band(u, 0.045, 0.955) * _band(v, 0.035, 0.965)
+    art = _band(u, 0.08, 0.92) * _band(v, 0.11, 0.54)
+    text = _band(u, 0.08, 0.92) * _band(v, 0.60, 0.92)
+    title = _band(u, 0.08, 0.92) * _band(v, 0.045, 0.095)
+
+    # sinusoidal "artwork"
+    wave = 0.5 + 0.5 * jnp.sin(
+        (6.0 + 10.0 * f1) * u + (6.0 + 10.0 * f2) * v + p1 * 6.28
+    ) * jnp.sin((4.0 + 8.0 * f2) * v - (3.0 + 6.0 * f1) * u + p2 * 6.28)
+    art_tex = art_col * wave[..., None] + art_col2 * (1.0 - wave[..., None])
+
+    color = border_col
+    color = color * (1 - inner[..., None]) + frame_col * inner[..., None]
+    color = color * (1 - art[..., None]) + art_tex * art[..., None]
+    color = color * (1 - text[..., None]) + text_col * text[..., None]
+    color = color * (1 - title[..., None]) + (frame_col * 0.6) * title[..., None]
+    # faint text lines in the text box
+    lines = 0.5 + 0.5 * jnp.sin(v * 300.0)
+    color = color - 0.12 * (text * (lines > 0.6))[..., None]
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def _background(key: jax.Array, h: int, w: int) -> jax.Array:
+    """Random gradient + sinusoidal mottling + noise (stand-in for Lorem
+    Picsum photos / HDRI environments)."""
+    keys = jax.random.split(key, 6)
+    c0 = jax.random.uniform(keys[0], (3,))
+    c1 = jax.random.uniform(keys[1], (3,))
+    ang = jax.random.uniform(keys[2], minval=0.0, maxval=2 * jnp.pi)
+    y, x = W.identity_grid(h, w)
+    t = (x / w) * jnp.cos(ang) + (y / h) * jnp.sin(ang)
+    t = (t - t.min()) / (t.max() - t.min() + 1e-8)
+    grad = c0 * t[..., None] + c1 * (1.0 - t[..., None])
+    f = jax.random.uniform(keys[3], (4,), minval=1.0, maxval=8.0)
+    mottle = 0.5 + 0.25 * jnp.sin(f[0] * x / w * 6.28 + f[1]) * jnp.sin(
+        f[2] * y / h * 6.28 + f[3]
+    )
+    noise = jax.random.uniform(keys[4], (h, w, 1), minval=-0.04, maxval=0.04)
+    return jnp.clip(grad * mottle[..., None] + noise, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def synthetic_sample(key: jax.Array, h: int = 320, w: int = 240) -> SyntheticSample:
+    """Render one (h, w) synthetic scene."""
+    (k_bg, k_tex, k_scale, k_rot, k_pos, k_persp, k_light, k_neg, k_exp) = (
+        jax.random.split(key, 9)
+    )
+
+    background = _background(k_bg, h, w)
+
+    # --- card placement: rect corners -> rotate -> translate -> perspective jitter
+    scale = jax.random.uniform(k_scale, minval=0.35, maxval=0.95)
+    card_h_px = scale * min(h, w)
+    card_w_px = card_h_px * (CARD_W_MM / CARD_H_MM)
+    angle = jax.random.uniform(k_rot, minval=0.0, maxval=2 * jnp.pi)
+    cx = w / 2.0 + jax.random.uniform(k_pos, minval=-0.2, maxval=0.2) * w
+    cy = h / 2.0 + jax.random.uniform(jax.random.fold_in(k_pos, 1), minval=-0.2, maxval=0.2) * h
+
+    base = jnp.array(  # TL TR BR BL in card frame, centered
+        [
+            [-card_w_px / 2, -card_h_px / 2],
+            [card_w_px / 2, -card_h_px / 2],
+            [card_w_px / 2, card_h_px / 2],
+            [-card_w_px / 2, card_h_px / 2],
+        ]
+    )
+    rot = jnp.array(
+        [[jnp.cos(angle), -jnp.sin(angle)], [jnp.sin(angle), jnp.cos(angle)]]
+    )
+    corners = base @ rot.T + jnp.array([cx, cy])
+    # perspective: per-corner jitter up to 6% of card size (camera Y 45-135deg)
+    jit = jax.random.uniform(k_persp, (4, 2), minval=-0.06, maxval=0.06)
+    corners = corners + jit * jnp.array([card_w_px, card_h_px])
+
+    # homography: card uv unit square -> image corners; inverse for sampling
+    src_uv = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    h_fwd = W.homography_from_points(src_uv, corners)
+    h_inv = W.homography_from_points(corners, src_uv)
+
+    y, x = W.identity_grid(h, w)
+    pts = jnp.stack([x, y], axis=-1).reshape(-1, 2)
+    uv = W.transform_points(h_inv, pts).reshape(h, w, 2)
+    u, v = uv[..., 0], uv[..., 1]
+
+    # anti-aliased coverage: SDF in mm -> pixels
+    mm_per_px = CARD_H_MM / jnp.maximum(card_h_px, 1.0)
+    sdf_px = _rounded_rect_sdf(u, v) / mm_per_px
+    alpha = jnp.clip(0.5 - sdf_px, 0.0, 1.0)
+
+    # negatives: drop the card entirely ~9% of the time
+    has_card = jnp.logical_not(jax.random.bernoulli(k_neg, NEGATIVE_PROB))
+    alpha = alpha * has_card.astype(jnp.float32)
+
+    card_rgb = _card_texture(k_tex, u, v)
+    img = background * (1.0 - alpha[..., None]) + card_rgb * alpha[..., None]
+
+    # illumination: low-frequency light field + vignette + exposure
+    lk = jax.random.split(k_light, 3)
+    lx = jax.random.uniform(lk[0], minval=0.0, maxval=1.0)
+    ly = jax.random.uniform(lk[1], minval=0.0, maxval=1.0)
+    d2 = ((x / w) - lx) ** 2 + ((y / h) - ly) ** 2
+    light = 1.15 - 0.5 * jnp.sqrt(d2)
+    exposure = jax.random.uniform(k_exp, minval=0.85, maxval=1.15)
+    img = jnp.clip(img * light[..., None] * exposure, 0.0, 1.0)
+
+    mask = (alpha > 0.5).astype(jnp.int32)
+    corners_out = jnp.where(has_card, corners, -jnp.ones_like(corners))
+    return SyntheticSample(img, mask, corners_out, has_card)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def synthetic_batch(
+    key: jax.Array, batch: int, h: int = 320, w: int = 240
+) -> SyntheticSample:
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: synthetic_sample(k, h, w))(keys)

@@ -77,6 +77,7 @@ class ConvBNAct(nn.Module):
     act: Optional[str] = "relu"
     use_bn: bool = True
     bias: bool = False
+    bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -97,7 +98,7 @@ class ConvBNAct(nn.Module):
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.99,
+                momentum=self.bn_momentum,
                 epsilon=1e-3,
                 dtype=jnp.float32,
                 param_dtype=self.param_dtype,
@@ -152,6 +153,7 @@ class InvertedResidual(nn.Module):
     dilation: int = 1
     use_se: bool = False
     act: str = "relu"
+    bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -163,12 +165,12 @@ class InvertedResidual(nn.Module):
         y = x
         if self.expanded != in_features:
             y = ConvBNAct(
-                self.expanded, 1, act=self.act,
+                self.expanded, 1, act=self.act, bn_momentum=self.bn_momentum,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="expand",
             )(y, train)
         y = ConvBNAct(
             self.expanded, self.kernel, stride=stride, dilation=self.dilation,
-            groups=self.expanded, act=self.act,
+            groups=self.expanded, act=self.act, bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="depthwise",
         )(y, train)
         if self.use_se:
@@ -177,7 +179,7 @@ class InvertedResidual(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name="se",
             )(y)
         y = ConvBNAct(
-            self.out_features, 1, act=None,
+            self.out_features, 1, act=None, bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="project",
         )(y, train)
         if stride == 1 and in_features == self.out_features:

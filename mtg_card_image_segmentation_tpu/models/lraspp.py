@@ -36,6 +36,7 @@ from mtg_card_image_segmentation_tpu.ops.resize import bilinear_resize
 class LRASPPHead(nn.Module):
     num_classes: int = 2
     inter_channels: int = 128
+    bn_momentum: float = 0.99
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -44,7 +45,7 @@ class LRASPPHead(nn.Module):
         self, low: jax.Array, high: jax.Array, train: bool = False
     ) -> jax.Array:
         x = ConvBNAct(
-            self.inter_channels, 3, act="relu",
+            self.inter_channels, 3, act="relu", bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="cbr",
         )(high, train)
         # image-level gate: pool in fp32, 1x1 (no bias, train/model.py:117), sigmoid
@@ -78,6 +79,7 @@ class CardSegmentationModel(nn.Module):
 
     num_classes: int = 2
     inter_channels: int = 128
+    bn_momentum: float = 0.99
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -85,11 +87,13 @@ class CardSegmentationModel(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_h, in_w = x.shape[1], x.shape[2]
         taps = MobileNetV3Backbone(
-            dilated=True, dtype=self.dtype, param_dtype=self.param_dtype,
+            dilated=True, bn_momentum=self.bn_momentum,
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="backbone",
         )(x, train)
         logits = LRASPPHead(
             num_classes=self.num_classes, inter_channels=self.inter_channels,
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="head",
         )(taps["low"], taps["high"], train)
         return bilinear_resize(logits, in_h, in_w)

@@ -51,6 +51,7 @@ class MobileNetV3Backbone(nn.Module):
     """Returns {"low": (B, H/8, W/8, 40), "high": (B, H/16, W/16, 960)}."""
 
     dilated: bool = True
+    bn_momentum: float = 0.99
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -58,7 +59,7 @@ class MobileNetV3Backbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
         taps: Dict[str, jax.Array] = {}
         x = ConvBNAct(
-            16, 3, stride=2, act="hardswish",
+            16, 3, stride=2, act="hardswish", bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="stem",
         )(x, train)
         for i, (k, exp, out, se, act, stride, in_tail) in enumerate(
@@ -68,12 +69,13 @@ class MobileNetV3Backbone(nn.Module):
             x = InvertedResidual(
                 expanded=exp, out_features=out, kernel=k, stride=stride,
                 dilation=dilation, use_se=se, act=act,
+                bn_momentum=self.bn_momentum,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block{i}",
             )(x, train)
             if i == LOW_TAP_ROW:
                 taps["low"] = x
         x = ConvBNAct(
-            HIGH_CHANNELS, 1, act="hardswish",
+            HIGH_CHANNELS, 1, act="hardswish", bn_momentum=self.bn_momentum,
             dtype=self.dtype, param_dtype=self.param_dtype, name="head_conv",
         )(x, train)
         taps["high"] = x

@@ -10,6 +10,7 @@ from mtg_card_image_segmentation_tpu.training.loop import (
     EarlyStopping,
     make_eval_step,
     make_train_step,
+    recalibrate_batch_stats,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "EarlyStopping",
     "make_train_step",
     "make_eval_step",
+    "recalibrate_batch_stats",
 ]

@@ -110,6 +110,51 @@ def make_eval_step(
     return jax.jit(eval_step, **kwargs)
 
 
+def recalibrate_batch_stats(state, recal_model, batches, mesh=None):
+    """Exact BatchNorm running-stat recalibration.
+
+    With the reference's BN momentum (torch 0.01 / flax 0.99, torchvision
+    mobilenetv3) running stats need ~500 steps to leave their unit-variance
+    init; short runs, pruning fine-tunes and freshly-surgered exports all
+    eval garbage until recalibrated. ``recal_model`` must be the same
+    architecture built with ``bn_momentum=0.0`` — one train-mode pass then
+    yields each batch's *exact* statistics, which are averaged over
+    ``batches`` and written back into the state. (Averaging per-batch
+    variances slightly under-counts between-batch mean variance; negligible
+    for iid recalibration batches.)
+    """
+
+    def batch_stats_of(params, batch_stats, images):
+        _, mutated = recal_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return mutated["batch_stats"]
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        kwargs["in_shardings"] = (
+            replicated,
+            replicated,
+            NamedSharding(mesh, batch_spec()),
+        )
+        kwargs["out_shardings"] = replicated
+    stats_fn = jax.jit(batch_stats_of, **kwargs)
+
+    acc = None
+    n = 0
+    for images in batches:
+        stats = stats_fn(state.params, state.batch_stats, images)
+        acc = stats if acc is None else jax.tree.map(jnp.add, acc, stats)
+        n += 1
+    if acc is None:
+        return state
+    return state.replace(batch_stats=jax.tree.map(lambda x: x / n, acc))
+
+
 class EarlyStopping:
     """Max/min-mode early stopping with best-state restore
     (train/train.py:23-65 + the pose variant's min mode, metrics.py:213-275).

@@ -125,3 +125,38 @@ def test_early_stopping_min_mode_restore():
     es(0.7, FakeState(3.0))
     restored = es.restore_best(FakeState(9.0))
     assert float(restored.params["w"]) == 2.0
+
+
+@pytest.mark.slow
+def test_bn_recalibration_fixes_stale_stats(mesh8):
+    """After a few train steps, momentum-0.99 running stats are still near
+    init and eval collapses; exact recalibration recovers batch-stats-level
+    quality (the bug this guards was found live: eval IoU 0.017 vs 0.84)."""
+    from mtg_card_image_segmentation_tpu.training import recalibrate_batch_stats
+
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    recal_model = create_model(
+        "lraspp_mobilenet_v3_large", compute_dtype="float32", bn_momentum=0.0
+    )
+    tx, _ = create_optimizer(OptimizerConfig(learning_rate=3e-3), 1, 10)
+    state = create_seg_state(model, tx, (1, 32, 32, 3), jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((8, 4, 4, 3)).astype(np.float32)
+    imgs = np.asarray(jax.image.resize(jnp.asarray(base), (8, 32, 32, 3), "linear"))
+    masks = (imgs[..., 0] > 0).astype(np.int32)
+    images_d, masks_d = shard_batch(mesh8, imgs, masks)
+
+    step = make_train_step(mesh=mesh8)
+    for _ in range(15):
+        state, _ = step(state, images_d, masks_d)
+
+    eval_step = make_eval_step(mesh=mesh8)
+    _, cm_before = eval_step(state, images_d, masks_d)
+    acc_before = metrics_lib.metrics_from_confusion(np.asarray(cm_before))
+
+    state = recalibrate_batch_stats(state, recal_model, [images_d], mesh=mesh8)
+    _, cm_after = eval_step(state, images_d, masks_d)
+    acc_after = metrics_lib.metrics_from_confusion(np.asarray(cm_after))
+    assert acc_after["pixel_accuracy"] >= acc_before["pixel_accuracy"] - 0.02
+    assert acc_after["pixel_accuracy"] > 0.85

@@ -1,0 +1,98 @@
+"""Orbax checkpointing with the reference's best/periodic/final policy.
+
+Replaces the torch.save state-dict triple (train/utils.py:227-280) and the
+richer pose-variant checkpoint embedding config+history
+(train-pose-estimation_custom/train.py:223-265). One checkpoint = the whole
+functional train state (params, batch_stats, opt_state, step) + a JSON
+metadata sidecar (epoch, best_metric, history, config) so resume restores
+optimizer momentum, schedules and early-stopping context exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _state_tree(state) -> Dict[str, Any]:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    name: str,
+    state,
+    epoch: int,
+    best_metric: Optional[float] = None,
+    history: Optional[dict] = None,
+    config: Optional[dict] = None,
+) -> str:
+    """Write checkpoint ``name`` (e.g. 'best_model', 'checkpoint_epoch_10',
+    'final_model') under ``checkpoint_dir``."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _state_tree(state))
+    ckptr.wait_until_finished()
+    meta = {
+        "epoch": int(epoch),
+        "best_metric": None if best_metric is None else float(best_metric),
+        "history": history or {},
+        "config": config or {},
+    }
+    with open(os.path.join(checkpoint_dir, name + ".meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_checkpoint(
+    checkpoint_dir: str, name: str, state
+) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into the (freshly created) ``state`` template. Returns
+    (state, metadata)."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_tree(state))
+    restored = ckptr.restore(path, template)
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_checkpoint_name(checkpoint_dir: str) -> Optional[str]:
+    """Most recently written checkpoint under ``checkpoint_dir`` (for
+    --resume without an explicit name)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    candidates = [
+        d
+        for d in os.listdir(checkpoint_dir)
+        if os.path.isdir(os.path.join(checkpoint_dir, d))
+    ]
+    if not candidates:
+        return None
+    return max(
+        candidates, key=lambda d: os.path.getmtime(os.path.join(checkpoint_dir, d))
+    )

@@ -42,8 +42,9 @@ class AugmentOut(NamedTuple):
     keypoints: Optional[jax.Array] = None  # (K, 2) xy pixels
 
 
-def _geometry_matrix(key: jax.Array, h: int, w: int, cfg: AugmentConfig) -> jax.Array:
-    """Forward 3x3 matrix composing hflip and affine (both probability-gated)."""
+def _geometry_matrix(key: jax.Array, h: int, w: int, cfg: AugmentConfig):
+    """Forward 3x3 matrix composing hflip and affine (both probability-gated).
+    Returns (matrix, did_flip)."""
     k_flip, k_p_aff, k_tr, k_sc, k_rot = jax.random.split(key, 5)
 
     do_flip = jax.random.bernoulli(k_flip, cfg.hflip_prob)
@@ -65,7 +66,7 @@ def _geometry_matrix(key: jax.Array, h: int, w: int, cfg: AugmentConfig) -> jax.
     )
     affine = W.affine_matrix(t, s, a, ((h - 1) / 2.0, (w - 1) / 2.0))
     affine = jnp.where(do_aff, affine, jnp.eye(3))
-    return affine @ flip
+    return affine @ flip, do_flip
 
 
 def _displacement_fields(
@@ -164,13 +165,18 @@ def augment_sample(
     mask: jax.Array,
     cfg: AugmentConfig = AugmentConfig(),
     keypoints: Optional[jax.Array] = None,
+    flip_idx: Optional[Tuple[int, ...]] = None,
 ) -> AugmentOut:
     """Augment one (H, W, 3) [0,1] image + (H, W) mask (+ optional (K, 2) xy
-    keypoints). One fused geometric warp, then color ops."""
+    keypoints). One fused geometric warp, then color ops.
+
+    ``flip_idx`` reorders keypoints after a horizontal flip to restore the
+    canonical corner order (TL,TR,BR,BL needs [1,0,3,2] — the reference's
+    kpt flip_idx, *_yolo12n/model.py:368)."""
     h, w = image.shape[0], image.shape[1]
     k_geo, k_disp, k_color = jax.random.split(key, 3)
 
-    m_fwd = _geometry_matrix(k_geo, h, w, cfg)
+    m_fwd, did_flip = _geometry_matrix(k_geo, h, w, cfg)
     m_inv = W.invert_affine(m_fwd)
     src_y, src_x = W.apply_homography_grid(m_inv, h, w)
 
@@ -181,6 +187,9 @@ def augment_sample(
         new_kpts = None
     else:
         new_kpts = W.transform_points(m_fwd, keypoints)
+        if flip_idx is not None:
+            reordered = new_kpts[jnp.asarray(flip_idx)]
+            new_kpts = jnp.where(did_flip, reordered, new_kpts)
 
     img_out = W.warp_bilinear(image, src_y, src_x)
     mask_out = W.warp_nearest(mask.astype(jnp.int32), src_y, src_x)
@@ -194,6 +203,7 @@ def augment_batch(
     masks: jax.Array,
     cfg: AugmentConfig = AugmentConfig(),
     keypoints: Optional[jax.Array] = None,
+    flip_idx: Optional[Tuple[int, ...]] = None,
 ) -> AugmentOut:
     """vmapped per-sample augmentation over (B, H, W, 3) / (B, H, W)."""
     keys = jax.random.split(key, images.shape[0])
@@ -201,5 +211,5 @@ def augment_batch(
         fn = lambda k, i, m: augment_sample(k, i, m, cfg)
         out = jax.vmap(fn)(keys, images, masks)
         return AugmentOut(out.image, out.mask, None)
-    fn = lambda k, i, m, p: augment_sample(k, i, m, cfg, p)
+    fn = lambda k, i, m, p: augment_sample(k, i, m, cfg, p, flip_idx)
     return jax.vmap(fn)(keys, images, masks, keypoints)

@@ -71,6 +71,77 @@ class SyntheticPipeline:
             yield images, masks
 
 
+class PoseSyntheticPipeline:
+    """On-device stream of (images01, target_heatmaps, corners_px) for the
+    corner-keypoint pipelines.
+
+    Matches the custom-pose contract: images are /255 only (no ImageNet
+    normalization, inference_test.py:167-169), targets are per-corner
+    Gaussian heatmaps at (hm_h, hm_w) with sigma=2
+    (train-pose-estimation_custom/dataset.py:317-331), corners in canonical
+    TL,TR,BR,BL order with flip_idx reordering under horizontal flips.
+    Negatives are disabled (corner annotations only exist for card images).
+    """
+
+    FLIP_IDX = (1, 0, 3, 2)
+
+    def __init__(
+        self,
+        batch_size: int,
+        height: int,
+        width: int,
+        heatmap_height: int,
+        heatmap_width: int,
+        sigma: float = 2.0,
+        mesh=None,
+        augment: Optional[AugmentConfig] = None,
+        seed: int = 0,
+    ) -> None:
+        from mtg_card_image_segmentation_tpu.ops.heatmap import (
+            gaussian_heatmaps_batch,
+            pixels_to_heatmap_coords,
+        )
+
+        self.mesh = mesh
+        self._key = jax.random.key(seed)
+        aug = augment
+        flip_idx = self.FLIP_IDX
+
+        def make(key):
+            k_gen, k_aug = jax.random.split(key)
+            sample = synthetic_batch(k_gen, batch_size, height, width, 0.0)
+            images, corners = sample.image, sample.corners
+            if aug is not None and aug.enabled:
+                out = augment_batch(
+                    k_aug, images, sample.mask, aug,
+                    keypoints=corners, flip_idx=flip_idx,
+                )
+                images, corners = out.image, out.keypoints
+            hm_coords = pixels_to_heatmap_coords(
+                corners, (height, width), (heatmap_height, heatmap_width)
+            )
+            targets = gaussian_heatmaps_batch(
+                hm_coords, heatmap_height, heatmap_width, sigma
+            )
+            return images, targets, corners
+
+        self._make = jax.jit(make)
+
+    def __iter__(self):
+        from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec
+
+        while True:
+            self._key, sub = jax.random.split(self._key)
+            images, targets, corners = self._make(sub)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                sh = NamedSharding(self.mesh, batch_spec())
+                images = jax.device_put(images, sh)
+                targets = jax.device_put(targets, sh)
+            yield images, targets, corners
+
+
 class FilePipeline:
     """Host-decode (cv2, prefetch thread) -> device resize/normalize/augment.
 

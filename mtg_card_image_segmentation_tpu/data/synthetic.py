@@ -121,9 +121,14 @@ def _background(key: jax.Array, h: int, w: int) -> jax.Array:
     return jnp.clip(grad * mottle[..., None] + noise, 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def synthetic_sample(key: jax.Array, h: int = 320, w: int = 240) -> SyntheticSample:
-    """Render one (h, w) synthetic scene."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def synthetic_sample(
+    key: jax.Array, h: int = 320, w: int = 240,
+    negative_prob: float = NEGATIVE_PROB,
+) -> SyntheticSample:
+    """Render one (h, w) synthetic scene. ``negative_prob=0`` guarantees a
+    card (the pose pipelines train only on card images, matching the
+    reference's corner_annotations contract)."""
     (k_bg, k_tex, k_scale, k_rot, k_pos, k_persp, k_light, k_neg, k_exp) = (
         jax.random.split(key, 9)
     )
@@ -169,8 +174,8 @@ def synthetic_sample(key: jax.Array, h: int = 320, w: int = 240) -> SyntheticSam
     sdf_px = _rounded_rect_sdf(u, v) / mm_per_px
     alpha = jnp.clip(0.5 - sdf_px, 0.0, 1.0)
 
-    # negatives: drop the card entirely ~9% of the time
-    has_card = jnp.logical_not(jax.random.bernoulli(k_neg, NEGATIVE_PROB))
+    # negatives: drop the card entirely ~negative_prob of the time
+    has_card = jnp.logical_not(jax.random.bernoulli(k_neg, negative_prob))
     alpha = alpha * has_card.astype(jnp.float32)
 
     card_rgb = _card_texture(k_tex, u, v)
@@ -190,9 +195,10 @@ def synthetic_sample(key: jax.Array, h: int = 320, w: int = 240) -> SyntheticSam
     return SyntheticSample(img, mask, corners_out, has_card)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def synthetic_batch(
-    key: jax.Array, batch: int, h: int = 320, w: int = 240
+    key: jax.Array, batch: int, h: int = 320, w: int = 240,
+    negative_prob: float = NEGATIVE_PROB,
 ) -> SyntheticSample:
     keys = jax.random.split(key, batch)
-    return jax.vmap(lambda k: synthetic_sample(k, h, w))(keys)
+    return jax.vmap(lambda k: synthetic_sample(k, h, w, negative_prob))(keys)

@@ -1,0 +1,146 @@
+"""Corner-keypoint evaluator: distance-threshold metrics + report generation.
+
+Behavioral spec: train-pose-estimation_yolo12n/evaluate_model.py — Euclidean
+errors :135-158, accuracy@{5,10,20}px :160-185, per-corner accuracy
+:187-217, detection rate / mean/median/std / inference-time tracking
+:219-326, JSON + plots + text report :489-668 — plus the custom pipeline's
+3px/6px metrics (train-pose-estimation_custom/metrics.py:89-102).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
+
+CORNER_NAMES = ("top_left", "top_right", "bottom_right", "bottom_left")
+
+
+class PoseEvaluator:
+    def __init__(
+        self,
+        apply_fn,
+        variables,
+        image_hw: tuple[int, int],
+        peak_threshold: float = 0.3,
+        thresholds: Sequence[float] = (3.0, 5.0, 6.0, 10.0, 20.0),
+    ) -> None:
+        self.variables = variables
+        self.image_hw = image_hw
+        self.thresholds = tuple(thresholds)
+        self.peak_threshold = peak_threshold
+
+        @jax.jit
+        def step(variables, images):
+            heatmaps = apply_fn(variables, images, train=False)
+            coords01, conf = hm_lib.decode_argmax(heatmaps)
+            px = hm_lib.coords01_to_pixels(coords01, image_hw)
+            return px, conf
+
+        self._step = step
+
+    def evaluate(
+        self,
+        batches: Iterable,  # (images, _, corners_px) or (images, corners_px)
+        output_dir: Optional[str] = None,
+    ) -> Dict:
+        all_err: List[np.ndarray] = []
+        all_conf: List[np.ndarray] = []
+        times: List[float] = []
+        for batch in batches:
+            images, corners = batch[0], batch[-1]
+            t0 = time.perf_counter()
+            px, conf = self._step(self.variables, images)
+            px = np.asarray(px)  # host materialization = honest timing fence
+            times.append((time.perf_counter() - t0) / images.shape[0])
+            conf = np.asarray(conf)
+            c = np.asarray(corners)
+            err = np.sqrt(((px - c) ** 2).sum(-1))
+            all_err.append(err)
+            all_conf.append(conf)
+
+        err = np.concatenate(all_err)  # (N, 4)
+        conf = np.concatenate(all_conf)
+        detected = conf >= self.peak_threshold
+
+        report: Dict = {
+            "num_images": int(err.shape[0]),
+            "mean_error_px": float(err.mean()),
+            "median_error_px": float(np.median(err)),
+            "std_error_px": float(err.std()),
+            "detection_rate": float(detected.all(axis=1).mean()),
+            "mean_inference_time_ms_per_image": float(np.mean(times) * 1e3),
+            "per_corner": {},
+        }
+        for t in self.thresholds:
+            report[f"accuracy_{int(t)}px"] = float((err <= t).mean() * 100.0)
+        for k, name in enumerate(CORNER_NAMES):
+            report["per_corner"][name] = {
+                "mean_error_px": float(err[:, k].mean()),
+                **{
+                    f"accuracy_{int(t)}px": float((err[:, k] <= t).mean() * 100.0)
+                    for t in self.thresholds
+                },
+            }
+        # reference quality tiers (*_yolo12n/README.md:163-171)
+        report["tiers"] = {
+            "acc5_target>80": report["accuracy_5px"] > 80,
+            "acc10_target>90": report["accuracy_10px"] > 90,
+            "acc20_target>95": report["accuracy_20px"] > 95,
+            "mean_err_target<8px": report["mean_error_px"] < 8,
+        }
+
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir, "pose_evaluation.json"), "w") as f:
+                json.dump(report, f, indent=2)
+            self._write_text_report(report, os.path.join(output_dir, "report.txt"))
+            self._plot_error_distribution(
+                err, os.path.join(output_dir, "error_distribution.png")
+            )
+        return report
+
+    @staticmethod
+    def _write_text_report(report: Dict, path: str) -> None:
+        lines = [
+            "CORNER DETECTION EVALUATION",
+            "=" * 40,
+            f"images:          {report['num_images']}",
+            f"mean error:      {report['mean_error_px']:.2f} px",
+            f"median error:    {report['median_error_px']:.2f} px",
+            f"detection rate:  {report['detection_rate'] * 100:.1f}%",
+            f"inference time:  {report['mean_inference_time_ms_per_image']:.2f} ms/img",
+            "",
+        ]
+        for key in sorted(k for k in report if k.startswith("accuracy_")):
+            lines.append(f"{key}: {report[key]:.1f}%")
+        lines.append("")
+        for name, d in report["per_corner"].items():
+            lines.append(f"{name}: mean {d['mean_error_px']:.2f}px")
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+
+    @staticmethod
+    def _plot_error_distribution(err: np.ndarray, path: str) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        axes[0].hist(err.ravel(), bins=40)
+        axes[0].set_title("corner error (px)")
+        axes[1].boxplot(
+            [err[:, k] for k in range(err.shape[1])], tick_labels=list(CORNER_NAMES)
+        )
+        axes[1].tick_params(axis="x", rotation=20)
+        axes[1].set_title("per-corner error")
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)

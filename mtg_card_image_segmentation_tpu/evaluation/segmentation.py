@@ -1,0 +1,127 @@
+"""Segmentation evaluator: dataset-level metrics, confusion matrix,
+prediction analysis, failure-case mining.
+
+Behavioral spec: train/evaluate.py — confusion-matrix metrics :88-137,
+CM heatmap :139-168, 4-panel prediction analysis with confidence maps
+:170-238, failure mining below an IoU threshold :240-295. TPU re-design:
+one jitted eval program also returns *per-image* card IoU so failure mining
+needs no second pass, and all metric math happens on exact global confusion
+counts (not batch averages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtg_card_image_segmentation_tpu import metrics as metrics_lib
+from mtg_card_image_segmentation_tpu.utils import plots as plots_lib
+
+
+def make_analysis_step(apply_fn, num_classes: int = 2):
+    """Jitted: logits -> (per-image card IoU, confusion counts, pred masks,
+    card-probability maps)."""
+
+    @jax.jit
+    def step(variables, images, masks):
+        logits = apply_fn(variables, images, train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        cm = metrics_lib.confusion_matrix(pred, masks, num_classes)
+        card_pred = (pred == 1).astype(jnp.float32)
+        card_tgt = (masks == 1).astype(jnp.float32)
+        inter = jnp.sum(card_pred * card_tgt, axis=(1, 2))
+        union = (
+            jnp.sum(card_pred, axis=(1, 2)) + jnp.sum(card_tgt, axis=(1, 2)) - inter
+        )
+        per_image_iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        return per_image_iou, cm, pred.astype(jnp.uint8), probs[..., 1]
+
+    return step
+
+
+class SegEvaluator:
+    def __init__(self, apply_fn, variables, num_classes: int = 2) -> None:
+        self.variables = variables
+        self.num_classes = num_classes
+        self._step = make_analysis_step(apply_fn, num_classes)
+
+    def evaluate(
+        self,
+        batches: Iterable[Tuple[jax.Array, jax.Array]],
+        output_dir: Optional[str] = None,
+        failure_iou_threshold: float = 0.5,
+        save_plots: bool = False,
+        max_failures: int = 16,
+    ) -> Dict:
+        """Run the full evaluation. Returns the report dict (and writes
+        report.json + plots under ``output_dir`` when given)."""
+        cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
+        ious: List[float] = []
+        failures: List[Dict] = []
+        sample_panels = None
+
+        for batch_idx, (images, masks) in enumerate(batches):
+            per_iou, cm, preds, conf = self._step(self.variables, images, masks)
+            cm_total += np.asarray(cm, np.int64)
+            per_iou = np.asarray(per_iou)
+            ious.extend(per_iou.tolist())
+            bad = np.where(per_iou < failure_iou_threshold)[0]
+            for i in bad[: max(0, max_failures - len(failures))]:
+                failures.append(
+                    {
+                        "batch": batch_idx,
+                        "index_in_batch": int(i),
+                        "iou": float(per_iou[i]),
+                    }
+                )
+            if sample_panels is None:
+                sample_panels = (
+                    np.asarray(images[:4]),
+                    np.asarray(masks[:4]),
+                    np.asarray(preds[:4]),
+                    np.asarray(conf[:4]),
+                )
+
+        report = {
+            "metrics": metrics_lib.metrics_from_confusion(cm_total),
+            "confusion_matrix": cm_total.tolist(),
+            "num_images": len(ious),
+            "per_image_iou": {
+                "mean": float(np.mean(ious)) if ious else 0.0,
+                "median": float(np.median(ious)) if ious else 0.0,
+                "min": float(np.min(ious)) if ious else 0.0,
+                "below_threshold": len([x for x in ious if x < failure_iou_threshold]),
+                "threshold": failure_iou_threshold,
+            },
+            "failures": failures,
+        }
+        # headline targets from the reference README (train/README.md:279-281)
+        m = report["metrics"]
+        report["targets"] = {
+            "iou_card>0.85": m.get("iou_card", 0) > 0.85,
+            "pixel_accuracy>0.95": m.get("pixel_accuracy", 0) > 0.95,
+            "dice_card>0.90": m.get("dice_card", 0) > 0.90,
+        }
+
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir, "evaluation_report.json"), "w") as f:
+                json.dump(report, f, indent=2)
+            if save_plots:
+                plots_lib.plot_confusion_matrix(
+                    cm_total, os.path.join(output_dir, "confusion_matrix.png")
+                )
+                if sample_panels is not None:
+                    imgs, msks, preds, conf = sample_panels
+                    plots_lib.plot_predictions(
+                        imgs, msks, preds,
+                        os.path.join(output_dir, "prediction_analysis.png"),
+                        confidences=conf,
+                    )
+        return report

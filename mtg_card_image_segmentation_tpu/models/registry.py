@@ -50,6 +50,34 @@ def _lraspp(num_classes: int = 2, inter_channels: int = 128,
     )
 
 
+@register("hrnet_pose")
+def _hrnet_pose(num_keypoints: int = 4, heatmap_height: int = 120,
+                heatmap_width: int = 160, compute_dtype: str = "bfloat16",
+                param_dtype: str = "float32", bn_momentum: float = 0.99):
+    from mtg_card_image_segmentation_tpu.models.hrnet import HRNetPose
+
+    return HRNetPose(
+        num_keypoints=num_keypoints,
+        heatmap_height=heatmap_height,
+        heatmap_width=heatmap_width,
+        bn_momentum=bn_momentum,
+        dtype=_dtype(compute_dtype),
+        param_dtype=_dtype(param_dtype),
+    )
+
+
+def pose_from_config(cfg: PoseModelConfig, bn_momentum: float = 0.99):
+    return create_model(
+        cfg.name,
+        num_keypoints=cfg.num_keypoints,
+        heatmap_height=cfg.heatmap_height,
+        heatmap_width=cfg.heatmap_width,
+        compute_dtype=cfg.compute_dtype,
+        param_dtype=cfg.param_dtype,
+        bn_momentum=bn_momentum,
+    )
+
+
 def from_config(cfg: ModelConfig):
     return create_model(
         cfg.name,

@@ -16,8 +16,13 @@ import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
+
+
+def jnp_asarray(x):
+    return jnp.asarray(x)
 
 
 def _state_tree(state) -> Dict[str, Any]:
@@ -59,20 +64,35 @@ def save_checkpoint(
 
 
 def load_checkpoint(
-    checkpoint_dir: str, name: str, state
+    checkpoint_dir: str, name: str, state, params_only: bool = False
 ) -> Tuple[Any, Dict[str, Any]]:
     """Restore into the (freshly created) ``state`` template. Returns
-    (state, metadata)."""
+    (state, metadata).
+
+    ``params_only`` restores just params/batch_stats/step — use from
+    inference/eval/export consumers, whose optimizer (and therefore
+    opt_state pytree structure) may differ from the trainer that wrote the
+    checkpoint."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
-    ckptr = ocp.StandardCheckpointer()
-    template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_tree(state))
-    restored = ckptr.restore(path, template)
-    state = state.replace(
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        step=restored["step"],
-    )
+    if params_only:
+        # template-free read (returns the raw tree; the writer's opt_state
+        # structure is irrelevant), then adopt only params/batch_stats/step
+        raw = ocp.PyTreeCheckpointer().restore(path)
+        state = state.replace(
+            params=jax.tree.map(jnp_asarray, raw["params"]),
+            batch_stats=jax.tree.map(jnp_asarray, raw["batch_stats"]),
+            step=raw["step"],
+        )
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_tree(state))
+        restored = ckptr.restore(path, template)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
     meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
     meta: Dict[str, Any] = {}
     if os.path.exists(meta_path):

@@ -110,6 +110,63 @@ def make_eval_step(
     return jax.jit(eval_step, **kwargs)
 
 
+def make_pose_train_step(mesh: Optional[Mesh] = None, donate: bool = True):
+    """Jitted pose train step: MSE heatmap loss (CornerLoss semantics,
+    train-pose-estimation_custom/metrics.py:105-136)."""
+
+    def train_step(state: SegTrainState, images: jax.Array, targets: jax.Array):
+        def loss_fn(params):
+            heatmaps, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = losses_lib.heatmap_mse_loss(heatmaps, targets)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        stats = {"loss": loss.astype(jnp.float32), "count": jnp.asarray(1.0)}
+        return state, stats
+
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, batch_spec())
+        kwargs["in_shardings"] = (replicated, batch_sh, batch_sh)
+        kwargs["out_shardings"] = (replicated, replicated)
+    return jax.jit(train_step, **kwargs)
+
+
+def make_pose_eval_step(image_hw: tuple[int, int], mesh: Optional[Mesh] = None):
+    """Jitted pose eval: loss + per-corner pixel distances (argmax decode of
+    both pred and target heatmaps, scaled to image pixels — CornerMetrics,
+    metrics.py:29-73)."""
+    from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
+    from mtg_card_image_segmentation_tpu import metrics as seg_metrics
+
+    def eval_step(state: SegTrainState, images: jax.Array, targets: jax.Array):
+        heatmaps = state.apply_fn(state.variables(), images, train=False)
+        loss = losses_lib.heatmap_mse_loss(heatmaps, targets)
+        pred_xy, _ = hm_lib.decode_argmax(heatmaps)
+        tgt_xy, _ = hm_lib.decode_argmax(targets)
+        distances = seg_metrics.corner_distances(pred_xy, tgt_xy, image_hw)
+        return {"loss": loss.astype(jnp.float32), "count": jnp.asarray(1.0)}, distances
+
+    kwargs: Dict[str, Any] = {}
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, batch_spec())
+        kwargs["in_shardings"] = (replicated, batch_sh, batch_sh)
+        kwargs["out_shardings"] = (replicated, replicated)
+    return jax.jit(eval_step, **kwargs)
+
+
 def recalibrate_batch_stats(state, recal_model, batches, mesh=None):
     """Exact BatchNorm running-stat recalibration.
 

@@ -1,0 +1,90 @@
+"""Evaluation subsystem: seg evaluator report + pose evaluator report."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.evaluation import PoseEvaluator, SegEvaluator
+
+
+class _PerfectSegModel:
+    """apply(variables, images, train) that segments red-dominant pixels —
+    used with masks built the same way, so metrics must be ~perfect."""
+
+    def apply(self, variables, images, train=False):
+        score = images[..., 0] - 0.5
+        return jnp.stack([-score, score], axis=-1) * 10.0
+
+
+def test_seg_evaluator_report(tmp_path):
+    model = _PerfectSegModel()
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    masks = (images[..., 0] > 0.5).astype(np.int32)
+    ev = SegEvaluator(model.apply, {}, 2)
+    report = ev.evaluate(
+        [(jnp.asarray(images), jnp.asarray(masks))],
+        output_dir=str(tmp_path),
+        save_plots=True,
+    )
+    assert report["metrics"]["pixel_accuracy"] > 0.999
+    assert report["metrics"]["iou_card"] > 0.999
+    assert report["targets"]["iou_card>0.85"]
+    assert report["per_image_iou"]["below_threshold"] == 0
+    assert (tmp_path / "evaluation_report.json").is_file()
+    assert (tmp_path / "confusion_matrix.png").stat().st_size > 1000
+    assert (tmp_path / "prediction_analysis.png").stat().st_size > 1000
+
+
+def test_seg_evaluator_failure_mining():
+    class BadModel:
+        def apply(self, variables, images, train=False):
+            # always predicts background
+            b = jnp.ones(images.shape[:-1])
+            return jnp.stack([b, -b], axis=-1)
+
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32)
+    masks = np.ones((4, 8, 8), np.int32)
+    ev = SegEvaluator(BadModel().apply, {}, 2)
+    report = ev.evaluate([(jnp.asarray(images), jnp.asarray(masks))])
+    assert report["per_image_iou"]["below_threshold"] == 4
+    assert len(report["failures"]) == 4
+    assert not report["targets"]["iou_card>0.85"]
+
+
+def test_pose_evaluator_report(tmp_path):
+    from mtg_card_image_segmentation_tpu.ops import heatmap as hm
+
+    corners = np.array(
+        [[[10.0, 10.0], [50.0, 10.0], [50.0, 40.0], [10.0, 40.0]]], np.float32
+    ).repeat(4, axis=0)
+
+    class OracleModel:
+        """Predict heatmaps whose argmax is 2px off the truth in x."""
+
+        def apply(self, variables, images, train=False):
+            shifted = jnp.asarray(corners) + jnp.asarray([2.0, 0.0])
+            hm_coords = hm.pixels_to_heatmap_coords(shifted, (48, 64), (24, 32))
+            return hm.gaussian_heatmaps_batch(hm_coords, 24, 32, 1.5)
+
+    ev = PoseEvaluator(OracleModel().apply, {}, image_hw=(48, 64))
+    batches = [(jnp.zeros((4, 48, 64, 3)), None, jnp.asarray(corners))]
+    report = ev.evaluate(batches, output_dir=str(tmp_path))
+    # 2px x-shift (+ sub-heatmap-pixel rounding, 2px/cell) -> errors ~2-3px
+    assert report["mean_error_px"] < 4.0
+    assert report["accuracy_5px"] == 100.0
+    assert report["accuracy_3px"] >= 50.0
+    assert report["detection_rate"] == 1.0
+    assert set(report["per_corner"]) == {
+        "top_left", "top_right", "bottom_right", "bottom_left"
+    }
+    assert (tmp_path / "pose_evaluation.json").is_file()
+    assert (tmp_path / "report.txt").stat().st_size > 100
+    assert (tmp_path / "error_distribution.png").stat().st_size > 1000
+    data = json.loads((tmp_path / "pose_evaluation.json").read_text())
+    assert data["tiers"]["acc10_target>90"]

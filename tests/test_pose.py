@@ -1,0 +1,184 @@
+"""Pose pipeline: heatmap ops, HRNet model, train/eval steps, pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.models import create_model
+from mtg_card_image_segmentation_tpu.ops import heatmap as hm
+
+
+def test_gaussian_heatmap_matches_reference_formula():
+    centers = jnp.asarray([[5.0, 3.0], [0.0, 0.0], [-1.0, -1.0], [10.0, 7.0]])
+    out = np.asarray(hm.gaussian_heatmaps(centers, 8, 12, sigma=2.0))
+    assert out.shape == (8, 12, 4)
+    # reference formula (model.py:167-192)
+    xx, yy = np.meshgrid(np.arange(12, dtype=np.float32), np.arange(8, dtype=np.float32))
+    ref = np.exp(-((xx - 5.0) ** 2 + (yy - 3.0) ** 2) / (2 * 4.0))
+    np.testing.assert_allclose(out[..., 0], ref, rtol=1e-5, atol=1e-6)
+    # missing keypoint renders zeros
+    assert out[..., 2].max() == 0.0
+    # peak at the center
+    assert out[3, 5, 0] == out[..., 0].max()
+
+
+def test_decode_argmax_roundtrip():
+    centers = jnp.asarray([[[5.0, 3.0], [11.0, 7.0], [0.0, 0.0], [2.0, 6.0]]])
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 8, 12, 1.5))(centers)
+    coords, vals = hm.decode_argmax(targets)
+    px = np.asarray(hm.coords01_to_pixels(coords, (8, 12)))
+    np.testing.assert_allclose(px[0], np.asarray(centers)[0], atol=1e-5)
+    assert np.all(np.asarray(vals) > 0.99)
+
+
+def test_decode_soft_argmax_subpixel():
+    centers = jnp.asarray([[[5.3, 3.7], [10.2, 6.1], [1.5, 1.5], [8.8, 2.2]]])
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)
+    coords, _ = hm.decode_soft_argmax(targets * 20.0)  # sharpen
+    px = np.asarray(hm.coords01_to_pixels(coords, (32, 48)))
+    np.testing.assert_allclose(px[0], np.asarray(centers)[0], atol=0.3)
+    # integer argmax can't do better than 0.5px here
+    coords_int, _ = hm.decode_argmax(targets)
+    px_int = np.asarray(hm.coords01_to_pixels(coords_int, (32, 48)))
+    err_soft = np.abs(px[0] - np.asarray(centers)[0]).max()
+    err_int = np.abs(px_int[0] - np.asarray(centers)[0]).max()
+    assert err_soft < err_int
+
+
+def test_pixels_to_heatmap_coords():
+    pts = jnp.asarray([[639.0, 479.0], [0.0, 0.0], [-1.0, -1.0]])
+    out = np.asarray(hm.pixels_to_heatmap_coords(pts, (480, 640), (120, 160)))
+    np.testing.assert_allclose(out[0], [159.0, 119.0], rtol=1e-5)
+    np.testing.assert_allclose(out[1], [0.0, 0.0])
+    assert (out[2] == -1.0).all()
+
+
+def test_extract_peaks_threshold():
+    centers = jnp.asarray([[[5.0, 3.0], [-1.0, -1.0], [2.0, 2.0], [7.0, 7.0]]])
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 16, 16, 1.0))(centers)
+    coords, conf, valid = hm.extract_peaks(targets, threshold=0.5)
+    v = np.asarray(valid[0])
+    assert v.tolist() == [True, False, True, True]
+
+
+@pytest.fixture(scope="module")
+def pose_model_vars():
+    model = create_model(
+        "hrnet_pose", compute_dtype="float32", heatmap_height=30, heatmap_width=40
+    )
+    x = jnp.zeros((1, 120, 160, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    return model, variables
+
+
+def test_hrnet_pose_shapes(pose_model_vars):
+    model, variables = pose_model_vars
+    x = jnp.zeros((2, 120, 160, 3), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 30, 40, 4)
+    assert out.dtype == jnp.float32
+
+
+def test_hrnet_backbone_strides():
+    from mtg_card_image_segmentation_tpu.models.hrnet import HRNetBackbone
+
+    model = HRNetBackbone(dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 96, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    feats = model.apply(variables, x)
+    assert [f.shape for f in feats] == [
+        (1, 32, 24, 16), (1, 16, 12, 32), (1, 8, 6, 64), (1, 4, 3, 128)
+    ]
+
+
+def test_hrnet_param_count(pose_model_vars):
+    from mtg_card_image_segmentation_tpu.utils import count_parameters
+
+    _, variables = pose_model_vars
+    total = count_parameters(variables["params"])
+    # HRNet-w18-small backbone + 256-wide deconv head: small, single-digit M
+    assert 1e6 < total < 10e6
+
+
+@pytest.mark.slow
+def test_pose_train_step_learns(mesh8):
+    from mtg_card_image_segmentation_tpu.training import create_seg_state
+    from mtg_card_image_segmentation_tpu.training.loop import (
+        make_pose_eval_step,
+        make_pose_train_step,
+    )
+    import optax
+
+    model = create_model(
+        "hrnet_pose", compute_dtype="float32", heatmap_height=16, heatmap_width=16
+    )
+    tx = optax.adamw(1e-3)
+    state = create_seg_state(model, tx, (1, 64, 64, 3), jax.random.key(0))
+
+    # toy: corner positions correlate with image content
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    centers = jnp.asarray(
+        np.tile(np.array([[[3, 3], [12, 3], [12, 12], [3, 12]]], np.float32), (8, 1, 1))
+    )
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 16, 16, 2.0))(centers)
+
+    from mtg_card_image_segmentation_tpu.parallel import shard_batch
+
+    images_d = shard_batch(mesh8, images)
+    targets_d = jax.device_put(targets, images_d.sharding)
+
+    step = make_pose_train_step(mesh=mesh8)
+    losses = []
+    for _ in range(30):
+        state, stats = step(state, images_d, targets_d)
+        losses.append(float(stats["loss"]))
+    assert losses[-1] < losses[0]
+
+    eval_step = make_pose_eval_step((64, 64), mesh=mesh8)
+    stats, distances = eval_step(state, images_d, targets_d)
+    assert distances.shape == (8, 4)
+
+
+def test_pose_pipeline_targets_match_corners(mesh8):
+    from mtg_card_image_segmentation_tpu.data.pipeline import PoseSyntheticPipeline
+
+    pipe = PoseSyntheticPipeline(4, 96, 128, 24, 32, mesh=mesh8, seed=0)
+    images, targets, corners = next(iter(pipe))
+    assert images.shape == (4, 96, 128, 3)
+    assert targets.shape == (4, 24, 32, 4)
+    # decode targets back to image pixels, compare with emitted corners
+    coords01, vals = hm.decode_argmax(targets)
+    px = np.asarray(hm.coords01_to_pixels(coords01, (96, 128)))
+    c = np.asarray(corners)
+    in_frame = (
+        (c[..., 0] >= 0) & (c[..., 0] <= 127) & (c[..., 1] >= 0) & (c[..., 1] <= 95)
+    )
+    # heatmap cells are 4px; decode error should be within half a cell + slack
+    err = np.abs(px - c)
+    assert err[in_frame].max() < 4.0, err[in_frame].max()
+
+
+def test_augment_flip_reorders_corners():
+    from mtg_card_image_segmentation_tpu.config import AugmentConfig
+    from mtg_card_image_segmentation_tpu.data.augment import augment_sample
+
+    img = np.zeros((32, 32, 3), np.float32)
+    mask = np.zeros((32, 32), np.int32)
+    kpts = jnp.asarray([[4.0, 4.0], [27.0, 4.0], [27.0, 27.0], [4.0, 27.0]])
+    cfg = AugmentConfig(
+        hflip_prob=1.0, affine_prob=0.0, elastic_prob=0.0, grid_distort_prob=0.0,
+        color_jitter_prob=0.0, brightness_contrast_prob=0.0, noise_blur_prob=0.0,
+    )
+    out = augment_sample(
+        jax.random.key(0), jnp.asarray(img), jnp.asarray(mask), cfg,
+        keypoints=kpts, flip_idx=(1, 0, 3, 2),
+    )
+    k = np.asarray(out.keypoints)
+    # after flip + reorder, corner 0 is again top-left
+    np.testing.assert_allclose(k[0], [4.0, 4.0], atol=1e-4)
+    np.testing.assert_allclose(k[1], [27.0, 4.0], atol=1e-4)
+    np.testing.assert_allclose(k[2], [27.0, 27.0], atol=1e-4)
+    np.testing.assert_allclose(k[3], [4.0, 27.0], atol=1e-4)

@@ -43,28 +43,30 @@ def main() -> None:
     args = parser.parse_args()
 
     from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.serving import SegPredictor
 
     model = create_model("lraspp_mobilenet_v3_large")
     init_x = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, init_x, train=False))(
         jax.random.key(0)
     )
+    # the serving fast path: folded BN + bf16 + fused Pallas normalize/decode,
+    # uint8 in -> uint8 mask out (what a deployed consumer sends/receives)
+    predictor = SegPredictor(
+        variables["params"], variables["batch_stats"], args.size, args.size
+    )
 
-    @jax.jit
-    def forward(variables, images):
-        logits = model.apply(variables, images, train=False)
-        # return the argmax mask (what a serving consumer wants) — keeps the
-        # device->host result small and makes the timing honest
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+    def forward(images_u8):
+        return predictor.predict(images_u8)
 
     best = 0.0
     best_batch = 0
     rng = np.random.default_rng(0)
     for batch in args.batches:
         images = jnp.asarray(
-            rng.standard_normal((batch, args.size, args.size, 3)), jnp.float32
+            rng.integers(0, 256, (batch, args.size, args.size, 3)), jnp.uint8
         )
-        dt = _time_fn(forward, (variables, images), args.iters)
+        dt = _time_fn(forward, (images,), args.iters)
         ips = batch / dt
         if args.verbose:
             print(f"# batch={batch}: {dt * 1e3:.2f} ms -> {ips:.0f} img/s")

@@ -78,6 +78,9 @@ class ConvBNAct(nn.Module):
     use_bn: bool = True
     bias: bool = False
     bn_momentum: float = 0.99
+    # inference mode with BN folded into the conv (use export.fold_bn to
+    # transform trained params into this layout)
+    fold_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -90,12 +93,12 @@ class ConvBNAct(nn.Module):
             padding=[torch_padding(self.kernel, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             feature_group_count=self.groups,
-            use_bias=self.bias,
+            use_bias=self.bias or (self.fold_bn and self.use_bn),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
         )(x.astype(self.dtype))
-        if self.use_bn:
+        if self.use_bn and not self.fold_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
@@ -154,6 +157,7 @@ class InvertedResidual(nn.Module):
     use_se: bool = False
     act: str = "relu"
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -166,11 +170,13 @@ class InvertedResidual(nn.Module):
         if self.expanded != in_features:
             y = ConvBNAct(
                 self.expanded, 1, act=self.act, bn_momentum=self.bn_momentum,
+                fold_bn=self.fold_bn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="expand",
             )(y, train)
         y = ConvBNAct(
             self.expanded, self.kernel, stride=stride, dilation=self.dilation,
             groups=self.expanded, act=self.act, bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="depthwise",
         )(y, train)
         if self.use_se:
@@ -180,6 +186,7 @@ class InvertedResidual(nn.Module):
             )(y)
         y = ConvBNAct(
             self.out_features, 1, act=None, bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="project",
         )(y, train)
         if stride == 1 and in_features == self.out_features:

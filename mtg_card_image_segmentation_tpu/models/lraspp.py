@@ -37,6 +37,7 @@ class LRASPPHead(nn.Module):
     num_classes: int = 2
     inter_channels: int = 128
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -46,6 +47,7 @@ class LRASPPHead(nn.Module):
     ) -> jax.Array:
         x = ConvBNAct(
             self.inter_channels, 3, act="relu", bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="cbr",
         )(high, train)
         # image-level gate: pool in fp32, 1x1 (no bias, train/model.py:117), sigmoid
@@ -80,6 +82,7 @@ class CardSegmentationModel(nn.Module):
     num_classes: int = 2
     inter_channels: int = 128
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -87,13 +90,13 @@ class CardSegmentationModel(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_h, in_w = x.shape[1], x.shape[2]
         taps = MobileNetV3Backbone(
-            dilated=True, bn_momentum=self.bn_momentum,
+            dilated=True, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="backbone",
         )(x, train)
         logits = LRASPPHead(
             num_classes=self.num_classes, inter_channels=self.inter_channels,
-            bn_momentum=self.bn_momentum,
+            bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="head",
         )(taps["low"], taps["high"], train)
         return bilinear_resize(logits, in_h, in_w)

@@ -52,6 +52,7 @@ class MobileNetV3Backbone(nn.Module):
 
     dilated: bool = True
     bn_momentum: float = 0.99
+    fold_bn: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -60,6 +61,7 @@ class MobileNetV3Backbone(nn.Module):
         taps: Dict[str, jax.Array] = {}
         x = ConvBNAct(
             16, 3, stride=2, act="hardswish", bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="stem",
         )(x, train)
         for i, (k, exp, out, se, act, stride, in_tail) in enumerate(
@@ -69,13 +71,14 @@ class MobileNetV3Backbone(nn.Module):
             x = InvertedResidual(
                 expanded=exp, out_features=out, kernel=k, stride=stride,
                 dilation=dilation, use_se=se, act=act,
-                bn_momentum=self.bn_momentum,
+                bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block{i}",
             )(x, train)
             if i == LOW_TAP_ROW:
                 taps["low"] = x
         x = ConvBNAct(
             HIGH_CHANNELS, 1, act="hardswish", bn_momentum=self.bn_momentum,
+            fold_bn=self.fold_bn,
             dtype=self.dtype, param_dtype=self.param_dtype, name="head_conv",
         )(x, train)
         taps["high"] = x

@@ -1,0 +1,133 @@
+"""Pallas decoder kernels for the LR-ASPP head.
+
+1. ``upsample2x_add`` — the head's feature merge (train/model.py:140-142):
+   exact 2x half-pixel bilinear upsample of the gated high-res features +
+   elementwise add, one VMEM-resident pass per batch element. The 2x
+   half-pixel weights are the fixed pattern (0.25, 0.75)/(0.75, 0.25), so
+   the gather-free formulation uses `pltpu.roll` + interleave — no dynamic
+   indexing, pure VPU.
+
+2. ``fused_mask_decode`` — the serving-path decode: class-score map ->
+   final-resolution binary mask in ONE kernel. Bilinear upsampling by any
+   integer factor is a pair of small dense matmuls with interpolation
+   matrices (out = U_h @ x @ U_w^T, 2 nonzeros per row) which ride the MXU,
+   followed by a fused threshold and a uint8 store. This replaces
+   materializing (B, H, W, 2) fp32 logits + argmax — 32x less output HBM
+   traffic (2 fp32 channels -> 1 byte).
+
+Golden tests: tests/test_pallas.py vs ops/resize (torch-verified).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# upsample2x_add
+# ---------------------------------------------------------------------------
+
+
+def _up2x_rows(x: jax.Array) -> jax.Array:
+    """(h, w, c) -> (2h, w, c), half-pixel bilinear along rows, roll-based."""
+    h = x.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    prev = jnp.where(row_ids == 0, x, pltpu.roll(x, 1, axis=0))
+    # pltpu.roll requires non-negative shift; -1 == h-1 circularly
+    nxt = jnp.where(row_ids == h - 1, x, pltpu.roll(x, h - 1, axis=0))
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    return jnp.stack([even, odd], axis=1).reshape(2 * h, *x.shape[1:])
+
+
+def _upsample2x_add_kernel(high_ref, low_ref, out_ref):
+    x = high_ref[0].astype(jnp.float32)  # (h, w, c)
+    x = _up2x_rows(x)  # (2h, w, c)
+    x = jnp.moveaxis(_up2x_rows(jnp.moveaxis(x, 1, 0)), 0, 1)  # (2h, 2w, c)
+    out_ref[0] = (x + low_ref[0].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def upsample2x_add(
+    high: jax.Array, low: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """(B, h, w, C) + (B, 2h, 2w, C) -> (B, 2h, 2w, C). Exact half-pixel
+    bilinear 2x (matches ops.resize.upsample_add for 2x ratios)."""
+    b, h, w, c = high.shape
+    assert low.shape == (b, 2 * h, 2 * w, c), (high.shape, low.shape)
+    return pl.pallas_call(
+        _upsample2x_add_kernel,
+        out_shape=jax.ShapeDtypeStruct(low.shape, low.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * h, 2 * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * h, 2 * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(high, low)
+
+
+# ---------------------------------------------------------------------------
+# fused_mask_decode
+# ---------------------------------------------------------------------------
+
+
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out, in) half-pixel bilinear interpolation matrix (2 nonzeros
+    per row) — identical math to ops.resize._half_pixel_coords."""
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.clip((dst + 0.5) * scale - 0.5, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += (1.0 - w_hi).astype(np.float32)
+    m[np.arange(out_size), hi] += w_hi.astype(np.float32)
+    return m
+
+
+def _mask_decode_kernel(score_ref, uh_ref, uwt_ref, out_ref):
+    x = score_ref[0].astype(jnp.float32)  # (h, w)
+    up = jnp.dot(uh_ref[:], x, preferred_element_type=jnp.float32)  # (H, w)
+    up = jnp.dot(up, uwt_ref[:], preferred_element_type=jnp.float32)  # (H, W)
+    out_ref[0] = (up > 0.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interpret"))
+def fused_mask_decode(
+    scores: jax.Array, out_h: int, out_w: int, interpret: bool = False
+) -> jax.Array:
+    """(B, h, w) card-vs-background score map (logit difference) ->
+    (B, out_h, out_w) uint8 mask == argmax(bilinear_resize(logits)).
+
+    Works because bilinear resize is linear: argmax of 2 channels ==
+    (resize(logit1 - logit0) > 0).
+    """
+    b, h, w = scores.shape
+    uh = jnp.asarray(_interp_matrix(h, out_h))
+    uwt = jnp.asarray(_interp_matrix(w, out_w).T)
+    return pl.pallas_call(
+        _mask_decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w), jnp.uint8),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_h, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, out_w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, out_h, out_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(scores, uh, uwt)

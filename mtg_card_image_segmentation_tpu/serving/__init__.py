@@ -1,0 +1,3 @@
+from mtg_card_image_segmentation_tpu.serving.predictor import SegPredictor
+
+__all__ = ["SegPredictor"]

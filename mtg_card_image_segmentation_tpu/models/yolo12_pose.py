@@ -1,0 +1,390 @@
+"""YOLO12n-pose corner detector, NHWC Flax.
+
+Behavioral spec: the reference's ultralytics graph
+(train-pose-estimation_yolo12n/yolo12n-pose.yaml) at scale n
+(depth 0.5, width 0.25): Conv/C3k2/A2C2f backbone with area attention,
+PAN-style head, anchor-free Detect+Pose head with DFL box regression and
+(K, 3) keypoint regression per anchor. The wrapper API mirrors
+CornerDetectionModel (*_yolo12n/model.py:12-310): create/predict/decode
+with max_det=1 (exactly one card).
+
+Implementation notes (TPU-first):
+- Area attention (A2C2f/ABlock/AAttn) is plain softmax attention over
+  spatial tokens split into ``area`` groups — einsum on the MXU, no masks.
+- DFL decode (softmax expectation over 16 distance bins) and the
+  kpt/box/anchor decode are fused into the jitted forward; "NMS" for this
+  single-object task is top-1 anchor selection (ultralytics predict with
+  max_det=1, model.py:215-264).
+- All convs are Conv+BN+SiLU (ultralytics Conv); BN folds via
+  export/fold_bn.py like the other families.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtg_card_image_segmentation_tpu.ops.resize import nearest_resize
+
+# scale n
+WIDTH = 0.25
+DEPTH = 0.5
+REG_MAX = 16
+
+
+def _c(ch: int, max_channels: int = 1024) -> int:
+    return int(min(ch, max_channels) * WIDTH)
+
+
+def _n(n: int) -> int:
+    return max(1, round(n * DEPTH))
+
+
+class ConvBNSiLU(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=self.fold_bn,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x.astype(self.dtype))
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                dtype=jnp.float32, param_dtype=self.param_dtype, name="bn",
+            )(x.astype(jnp.float32))
+        if self.act:
+            x = nn.silu(x)
+        return x.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    e: float = 0.5
+    k1: int = 3
+    k2: int = 3
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.features * self.e)
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        y = ConvBNSiLU(hidden, self.k1, name="cv1", **kw)(x, train)
+        y = ConvBNSiLU(self.features, self.k2, name="cv2", **kw)(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = (y.astype(jnp.float32) + x.astype(jnp.float32)).astype(self.dtype)
+        return y
+
+
+class C3k(nn.Module):
+    features: int
+    n: int = 2
+    shortcut: bool = True
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.features // 2
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        a = ConvBNSiLU(c_, 1, name="cv1", **kw)(x, train)
+        b = ConvBNSiLU(c_, 1, name="cv2", **kw)(x, train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, e=1.0, name=f"m{i}", **kw)(a, train)
+        return ConvBNSiLU(self.features, 1, name="cv3", **kw)(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C3k2(nn.Module):
+    """C2f-style split block (ultralytics C3k2)."""
+
+    features: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    shortcut: bool = True
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.features * self.e)
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        y = ConvBNSiLU(2 * c, 1, name="cv1", **kw)(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            if self.c3k:
+                ys.append(C3k(c, 2, self.shortcut, name=f"m{i}", **kw)(ys[-1], train))
+            else:
+                ys.append(
+                    Bottleneck(c, self.shortcut, e=0.5, name=f"m{i}", **kw)(ys[-1], train)
+                )
+        return ConvBNSiLU(self.features, 1, name="cv2", **kw)(
+            jnp.concatenate(ys, axis=-1), train
+        )
+
+
+class AAttn(nn.Module):
+    """Area attention (ultralytics AAttn): softmax attention over spatial
+    tokens within ``area`` horizontal strips + depthwise positional conv."""
+
+    dim: int
+    num_heads: int
+    area: int = 1
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        qkv = ConvBNSiLU(self.dim * 3, 1, act=False, name="qkv", **kw)(x, train)
+        n = h * w
+        assert n % self.area == 0, f"{h}x{w} tokens not divisible by area {self.area}"
+        head_dim = self.dim // self.num_heads
+        t = qkv.reshape(b * self.area, n // self.area, 3, self.num_heads, head_dim)
+        q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(b, h, w, self.dim)
+        vv = v.reshape(b, h, w, self.dim)
+        pe = ConvBNSiLU(
+            self.dim, 7, groups=self.dim, act=False, name="pe", **kw
+        )(vv, train)
+        out = out + pe
+        return ConvBNSiLU(self.dim, 1, act=False, name="proj", **kw)(out, train)
+
+
+class ABlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        x = (
+            x.astype(jnp.float32)
+            + AAttn(self.dim, self.num_heads, self.area, name="attn", **kw)(
+                x, train
+            ).astype(jnp.float32)
+        ).astype(self.dtype)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = ConvBNSiLU(hidden, 1, name="mlp1", **kw)(x, train)
+        y = ConvBNSiLU(self.dim, 1, act=False, name="mlp2", **kw)(y, train)
+        return (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(self.dtype)
+
+
+class A2C2f(nn.Module):
+    features: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    mlp_ratio: float = 2.0
+    e: float = 0.5
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.features * self.e)
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        y = ConvBNSiLU(c_, 1, name="cv1", **kw)(x, train)
+        ys = [y]
+        for i in range(self.n):
+            z = ys[-1]
+            if self.a2:
+                for j in range(2):
+                    z = ABlock(
+                        c_, max(1, c_ // 32), self.mlp_ratio, self.area,
+                        name=f"m{i}_{j}", **kw,
+                    )(z, train)
+            else:
+                z = C3k(c_, 2, name=f"m{i}", **kw)(z, train)
+            ys.append(z)
+        return ConvBNSiLU(self.features, 1, name="cv2", **kw)(
+            jnp.concatenate(ys, axis=-1), train
+        )
+
+
+class YOLO12PoseBackboneHead(nn.Module):
+    """Full yolo12n-pose graph; returns per-level raw head outputs."""
+
+    num_classes: int = 1
+    num_keypoints: int = 4
+    kpt_dim: int = 3
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(fold_bn=self.fold_bn, dtype=self.dtype, param_dtype=self.param_dtype)
+        # --- backbone (yaml rows 0-8) ---
+        x = ConvBNSiLU(_c(64), 3, 2, name="l0", **kw)(x, train)  # P1/2
+        x = ConvBNSiLU(_c(128), 3, 2, name="l1", **kw)(x, train)  # P2/4
+        x = C3k2(_c(256), _n(2), False, 0.25, name="l2", **kw)(x, train)
+        x = ConvBNSiLU(_c(256), 3, 2, name="l3", **kw)(x, train)  # P3/8
+        p3_bb = C3k2(_c(512), _n(2), False, 0.25, name="l4", **kw)(x, train)
+        x = ConvBNSiLU(_c(512), 3, 2, name="l5", **kw)(p3_bb, train)  # P4/16
+        p4_bb = A2C2f(_c(512), _n(4), True, 4, name="l6", **kw)(x, train)
+        x = ConvBNSiLU(_c(1024), 3, 2, name="l7", **kw)(p4_bb, train)  # P5/32
+        p5_bb = A2C2f(_c(1024), _n(4), True, 1, name="l8", **kw)(x, train)
+
+        # --- head (yaml rows 9-20) ---
+        up = nearest_resize(p5_bb, p4_bb.shape[1], p4_bb.shape[2])
+        x = jnp.concatenate([up, p4_bb], axis=-1)
+        p4_mid = A2C2f(_c(512), _n(2), False, name="l11", **kw)(x, train)
+        up = nearest_resize(p4_mid, p3_bb.shape[1], p3_bb.shape[2])
+        x = jnp.concatenate([up, p3_bb], axis=-1)
+        p3 = A2C2f(_c(256), _n(2), False, name="l14", **kw)(x, train)
+        x = ConvBNSiLU(_c(256), 3, 2, name="l15", **kw)(p3, train)
+        x = jnp.concatenate([x, p4_mid], axis=-1)
+        p4 = A2C2f(_c(512), _n(2), False, name="l17", **kw)(x, train)
+        x = ConvBNSiLU(_c(512), 3, 2, name="l18", **kw)(p4, train)
+        x = jnp.concatenate([x, p5_bb], axis=-1)
+        p5 = C3k2(_c(1024), _n(2), True, name="l20", **kw)(x, train)
+
+        # --- Pose head (Detect + kpt branch) per level ---
+        nk = self.num_keypoints * self.kpt_dim
+        ch0 = p3.shape[-1]
+        c2 = max(16, ch0 // 4, REG_MAX * 4)
+        c3 = max(ch0, min(self.num_classes, 100))
+        c4 = max(ch0 // 4, nk)
+        outs = []
+        for li, feat in enumerate((p3, p4, p5)):
+            b = ConvBNSiLU(c2, 3, name=f"box{li}_0", **kw)(feat, train)
+            b = ConvBNSiLU(c2, 3, name=f"box{li}_1", **kw)(b, train)
+            b = nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"box{li}_2")(b)
+            # v10-style lightweight cls head (DWConv+1x1 pairs)
+            c = ConvBNSiLU(feat.shape[-1], 3, groups=feat.shape[-1],
+                           name=f"cls{li}_0dw", **kw)(feat, train)
+            c = ConvBNSiLU(c3, 1, name=f"cls{li}_0pw", **kw)(c, train)
+            c = ConvBNSiLU(c3, 3, groups=c3, name=f"cls{li}_1dw", **kw)(c, train)
+            c = ConvBNSiLU(c3, 1, name=f"cls{li}_1pw", **kw)(c, train)
+            c = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"cls{li}_2",
+                        # 1% objectness prior (ultralytics bias_init): keeps
+                        # the dense BCE term sane from step 0
+                        bias_init=nn.initializers.constant(-4.595))(c)
+            k = ConvBNSiLU(c4, 3, name=f"kpt{li}_0", **kw)(feat, train)
+            k = ConvBNSiLU(c4, 3, name=f"kpt{li}_1", **kw)(k, train)
+            k = nn.Conv(nk, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name=f"kpt{li}_2")(k)
+            outs.append(
+                jnp.concatenate(
+                    [b.astype(jnp.float32), c.astype(jnp.float32), k.astype(jnp.float32)],
+                    axis=-1,
+                )
+            )
+        return outs
+
+
+STRIDES = (8, 16, 32)
+
+
+def decode_predictions(
+    level_outputs: List[jax.Array],
+    num_classes: int = 1,
+    num_keypoints: int = 4,
+    kpt_dim: int = 3,
+):
+    """Anchor-free decode: DFL expectation -> ltrb -> xyxy boxes; keypoint
+    decode (2*sigmoid-free ultralytics formula: (pred*2 + anchor - 0.5) *
+    stride); returns flattened (B, A, ...) boxes/scores/kpts."""
+    boxes, scores, kpts = [], [], []
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    for out, stride in zip(level_outputs, STRIDES):
+        b, h, w, _ = out.shape
+        box = out[..., : 4 * REG_MAX].reshape(b, h, w, 4, REG_MAX)
+        dist = jnp.sum(jax.nn.softmax(box, axis=-1) * bins, axis=-1)  # (b,h,w,4) ltrb
+        cls = out[..., 4 * REG_MAX : 4 * REG_MAX + num_classes]
+        kpt = out[..., 4 * REG_MAX + num_classes :].reshape(
+            b, h, w, num_keypoints, kpt_dim
+        )
+        cx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
+        cy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+        x1 = (cx - dist[..., 0]) * stride
+        y1 = (cy - dist[..., 1]) * stride
+        x2 = (cx + dist[..., 2]) * stride
+        y2 = (cy + dist[..., 3]) * stride
+        boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1).reshape(b, h * w, 4))
+        scores.append(jax.nn.sigmoid(cls).reshape(b, h * w, num_classes))
+        kx = (kpt[..., 0] * 2.0 + (cx[..., None] - 0.5)) * stride
+        ky = (kpt[..., 1] * 2.0 + (cy[..., None] - 0.5)) * stride
+        kconf = jax.nn.sigmoid(kpt[..., 2]) if kpt_dim == 3 else jnp.ones_like(kx)
+        kpts.append(
+            jnp.stack([kx, ky, kconf], axis=-1).reshape(b, h * w, num_keypoints, 3)
+        )
+    return (
+        jnp.concatenate(boxes, axis=1),
+        jnp.concatenate(scores, axis=1),
+        jnp.concatenate(kpts, axis=1),
+    )
+
+
+def top1_detection(boxes, scores, kpts):
+    """max_det=1 decode (one card): best anchor across all levels."""
+    conf = jnp.max(scores, axis=-1)  # (B, A)
+    idx = jnp.argmax(conf, axis=-1)  # (B,)
+    take = lambda arr: jnp.take_along_axis(
+        arr, idx[:, None, *([None] * (arr.ndim - 2))], axis=1
+    )[:, 0]
+    return take(boxes), jnp.max(conf, axis=-1), take(kpts)
+
+
+class YOLO12Pose(nn.Module):
+    """Wrapper returning decoded (boxes, scores, kpts) in inference and raw
+    level outputs in training mode."""
+
+    num_classes: int = 1
+    num_keypoints: int = 4
+    kpt_dim: int = 3
+    fold_bn: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = YOLO12PoseBackboneHead(
+            num_classes=self.num_classes, num_keypoints=self.num_keypoints,
+            kpt_dim=self.kpt_dim, fold_bn=self.fold_bn, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="net",
+        )(x, train)
+        if train:
+            return outs
+        return decode_predictions(
+            outs, self.num_classes, self.num_keypoints, self.kpt_dim
+        )

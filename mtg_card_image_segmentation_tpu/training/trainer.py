@@ -86,6 +86,15 @@ class SegTrainer:
         self.history: Dict[str, List[float]] = {}
         self.start_epoch = 0
         self.best_metric: Optional[float] = None
+        self._wandb = None
+        if cfg.train.wandb:  # optional, like the reference (train/train.py:219-224)
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="mtg-card-segmentation-tpu", config=cfg.to_dict())
+            except ImportError:
+                self.log.warning("wandb requested but not installed — disabled")
 
     # ------------------------------------------------------------------
     def resume(self, name: Optional[str] = None) -> None:
@@ -169,6 +178,12 @@ class SegTrainer:
             if (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 val_stats = self.validate(make_val_batches(), make_recal_batches())
                 self._append_history("val", val_stats)
+                if self._wandb is not None:
+                    self._wandb.log(
+                        {f"train/{k}": v for k, v in train_stats.items()}
+                        | {f"val/{k}": v for k, v in val_stats.items()},
+                        step=epoch + 1,
+                    )
                 self.log.info(
                     f"epoch {epoch + 1} VAL "
                     f"loss={val_stats['loss']:.4f} "

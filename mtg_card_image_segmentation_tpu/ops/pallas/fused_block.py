@@ -1,0 +1,208 @@
+"""Fused MobileNetV3 inverted-residual block as one Pallas kernel.
+
+The expand(1x1) -> depthwise(kxk) -> [SE] -> project(1x1) block is the
+backbone's bandwidth hog: XLA must materialize the EXPANDED activation
+(up to 6x wider than the block IO) to HBM twice between the convs. This
+kernel keeps the whole per-image feature map VMEM-resident:
+
+- 1x1 convs become (H*W, Cin) @ (Cin, Cexp) MXU matmuls,
+- the depthwise kxk stencil is k^2 shifted multiplies on the VPU
+  (`pltpu.roll` + edge masks — zero padding, torch alignment),
+- stride 2 takes every other row/col of the full-res stencil (exactly the
+  torch pad=(k-1)//2 convention),
+- SE is a spatial mean + two tiny matmuls + hardsigmoid gate, in-register.
+
+HBM traffic per block drops from (in + 2*expanded + out) to (in + out).
+Grid is (batch,); VMEM holds one image's maps (raised scoped limit), which
+bounds applicability to the 320x240-scale feature maps; 512x512 needs the
+halo-tiled DMA variant (planned). Folded (BN-free) weights only: use
+export.fold_bn first. Golden-tested against models.layers.InvertedResidual
+in tests/test_pallas_fused_block.py.
+
+STATUS: correctness-validated on TPU (maxdiff ~1.6e-2, bf16 expanded path)
+but measured perf-NEUTRAL vs XLA at the 320x240 operating point (11.1ms vs
+11.0ms, B128 block1) — at this size both paths are latency-bound, not
+HBM-bound, so the saved expanded-tensor traffic doesn't show. Not wired
+into the model; kept as the foundation for the halo-tiled variant where
+the traffic argument actually binds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Shift (H, W, C) by (dy, dx) with zero fill — out[i, j] = x[i+dy, j+dx].
+
+    Implemented with static slice + concat (Mosaic's rotate only supports
+    32-bit data; slices/concats work for bf16 too)."""
+    if dy > 0:
+        x = jnp.concatenate([x[dy:], jnp.zeros_like(x[:dy])], axis=0)
+    elif dy < 0:
+        x = jnp.concatenate([jnp.zeros_like(x[dy:]), x[:dy]], axis=0)
+    if dx > 0:
+        x = jnp.concatenate([x[:, dx:], jnp.zeros_like(x[:, :dx])], axis=1)
+    elif dx < 0:
+        x = jnp.concatenate([jnp.zeros_like(x[:, dx:]), x[:, :dx]], axis=1)
+    return x
+
+
+def _act(x: jax.Array, name: Optional[str]) -> jax.Array:
+    if name == "relu":
+        return jnp.maximum(x, 0.0)
+    if name == "hardswish":
+        return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+    return x
+
+
+def _make_kernel(h: int, w: int, k: int, stride: int, act: str,
+                 has_expand: bool, has_se: bool, residual: bool):
+    pad = (k - 1) // 2
+    offsets = [(dy, dx) for dy in range(-pad, pad + 1) for dx in range(-pad, pad + 1)]
+
+    def kernel(*refs):
+        i = 0
+        x_ref = refs[i]; i += 1
+        if has_expand:
+            w_exp_ref, b_exp_ref = refs[i], refs[i + 1]; i += 2
+        w_dw_ref, b_dw_ref = refs[i], refs[i + 1]; i += 2
+        if has_se:
+            w1_ref, b1_ref, w2_ref, b2_ref = refs[i : i + 4]; i += 4
+        w_proj_ref, b_proj_ref = refs[i], refs[i + 1]; i += 2
+        out_ref = refs[i]
+
+        # expanded path runs in bf16 to fit VMEM (whole-image residency);
+        # matmuls still accumulate fp32 on the MXU
+        x = x_ref[0]  # (H, W, Cin)
+        if has_expand:
+            y = jnp.dot(
+                x.reshape(h * w, -1).astype(jnp.bfloat16),
+                w_exp_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) + b_exp_ref[:]
+            y = _act(y, act).reshape(h, w, -1).astype(jnp.bfloat16)
+        else:
+            y = x.astype(jnp.bfloat16)
+
+        # depthwise kxk stencil at full resolution (bf16 terms, fp32 acc)
+        acc = None
+        for idx, (dy, dx) in enumerate(offsets):
+            term = _shift2d(y, dy, dx) * w_dw_ref[idx][None, None, :].astype(jnp.bfloat16)
+            term = term.astype(jnp.float32)
+            acc = term if acc is None else acc + term
+        if stride == 2:
+            # Mosaic supports neither [::2] gathers nor strided slices;
+            # decimate via reshape + iota-masked sum (constants can't be
+            # closure-captured in pallas kernels, so build the mask in-kernel)
+            hh, ww, cc = acc.shape
+            r = acc.reshape(hh // 2, 2, ww, cc)
+            keep = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1) == 0
+            acc = jnp.where(keep, r, 0.0).sum(1)
+            r = acc.reshape(hh // 2, ww // 2, 2, cc)
+            keep = jax.lax.broadcasted_iota(jnp.int32, r.shape, 2) == 0
+            acc = jnp.where(keep, r, 0.0).sum(2)
+        y = _act(acc + b_dw_ref[:][None, None, :], act).astype(jnp.bfloat16)
+
+        if has_se:
+            s = jnp.mean(y.astype(jnp.float32), axis=(0, 1))  # (Cexp,)
+            s = jnp.maximum(
+                jnp.dot(s[None, :], w1_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)[0] + b1_ref[:], 0.0)
+            s = jnp.dot(s[None, :], w2_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)[0] + b2_ref[:]
+            s = jnp.clip(s + 3.0, 0.0, 6.0) / 6.0
+            y = y * s[None, None, :].astype(jnp.bfloat16)
+
+        oh, ow = y.shape[0], y.shape[1]
+        out = jnp.dot(
+            y.reshape(oh * ow, -1).astype(jnp.bfloat16),
+            w_proj_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + b_proj_ref[:]
+        out = out.reshape(oh, ow, -1)
+        if residual:
+            out = out + x.astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "stride", "act", "residual", "interpret"),
+)
+def fused_inverted_residual(
+    x: jax.Array,  # (B, H, W, Cin)
+    params: dict,  # folded ConvBNAct layout: expand?/depthwise/se?/project
+    kernel_size: int = 3,
+    stride: int = 1,
+    act: str = "relu",
+    residual: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run one folded inverted-residual block as a single fused kernel.
+
+    ``params`` is the block subtree produced by export.fold_bn for a
+    models.layers.InvertedResidual: {"expand"?: {"conv": {kernel, bias}},
+    "depthwise": {...}, "se"?: {"fc1": {...}, "fc2": {...}},
+    "project": {...}} (HWIO kernels).
+    """
+    b, h, w, cin = x.shape
+    has_expand = "expand" in params
+    has_se = "se" in params
+    cexp = params["depthwise"]["conv"]["kernel"].shape[-1]
+    cout = params["project"]["conv"]["kernel"].shape[-1]
+    oh, ow = h // stride, w // stride
+
+    inputs = [x]
+    in_specs = [
+        pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    ]
+
+    def add_mat(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(arr.shape, lambda i: tuple(0 for _ in arr.shape),
+                                     memory_space=pltpu.VMEM))
+
+    if has_expand:
+        add_mat(params["expand"]["conv"]["kernel"].reshape(cin, cexp))
+        add_mat(params["expand"]["conv"]["bias"])
+    # depthwise HWIO (k, k, 1, Cexp) -> (k*k, Cexp)
+    add_mat(params["depthwise"]["conv"]["kernel"].reshape(kernel_size**2, cexp))
+    add_mat(params["depthwise"]["conv"]["bias"])
+    if has_se:
+        add_mat(params["se"]["fc1"]["kernel"].reshape(cexp, -1))
+        add_mat(params["se"]["fc1"]["bias"])
+        add_mat(params["se"]["fc2"]["kernel"].reshape(-1, cexp))
+        add_mat(params["se"]["fc2"]["bias"])
+    add_mat(params["project"]["conv"]["kernel"].reshape(cexp, cout))
+    add_mat(params["project"]["conv"]["bias"])
+
+    use_residual = residual and stride == 1 and cin == cout
+    kernel = _make_kernel(h, w, kernel_size, stride, act, has_expand, has_se,
+                          use_residual)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), x.dtype),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, oh, ow, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        # whole-image VMEM residency needs headroom beyond the default 16MB
+        # scoped limit (v5e has 128MB of physical VMEM... scoped stack only);
+        # raise the cap for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)

@@ -1,0 +1,58 @@
+"""Fused inverted-residual kernel vs the Flax module (folded), interpret
+mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+from mtg_card_image_segmentation_tpu.models.layers import InvertedResidual
+from mtg_card_image_segmentation_tpu.ops.pallas.fused_block import (
+    fused_inverted_residual,
+)
+
+
+def _folded_block(cin, exp, cout, k, stride, se, act, seed=0, h=16, w=16):
+    module = InvertedResidual(
+        expanded=exp, out_features=cout, kernel=k, stride=stride,
+        use_se=se, act=act, dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((2, h, w, cin)), jnp.float32
+    )
+    variables = module.init(jax.random.key(seed), x, train=False)
+    # move BN stats off init
+    _, mutated = module.apply(variables, x * 1.5 + 0.2, train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    folded_module = InvertedResidual(
+        expanded=exp, out_features=cout, kernel=k, stride=stride,
+        use_se=se, act=act, dtype=jnp.float32, fold_bn=True,
+    )
+    folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+    ref = folded_module.apply({"params": folded}, x, train=False)
+    return x, folded, np.asarray(ref)
+
+
+@pytest.mark.parametrize(
+    "cin,exp,cout,k,stride,se,act,residual",
+    [
+        (16, 16, 16, 3, 1, False, "relu", True),    # block0 (no expand, residual)
+        (16, 64, 24, 3, 2, False, "relu", False),   # block1 (stride 2)
+        (24, 72, 24, 3, 1, False, "relu", True),    # block2
+        (24, 72, 40, 5, 2, True, "relu", False),    # block3 (k=5, SE, stride 2)
+        (40, 120, 40, 5, 1, True, "relu", True),    # block4
+        (80, 184, 80, 3, 1, False, "hardswish", True),  # hardswish block
+    ],
+)
+def test_fused_block_matches_module(cin, exp, cout, k, stride, se, act, residual):
+    x, folded, ref = _folded_block(cin, exp, cout, k, stride, se, act)
+    out = np.asarray(
+        fused_inverted_residual(
+            x, folded, kernel_size=k, stride=stride, act=act,
+            residual=residual, interpret=True,
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)  # bf16 expanded path

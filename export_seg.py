@@ -147,7 +147,16 @@ def main() -> None:
         rel16 = float(
             np.max(np.abs(out16 - ref_nchw) / (np.abs(ref_nchw) + 1e-3))
         )
-        ok16 = rel16 < 0.05 or d16 < 0.05
+        # configured gate (ExportConfig defaults mirror the reference's
+        # auto-mixed-precision tolerance, export_onnx.py:104): pass if every
+        # element is within rtol OR atol — the standard mixed criterion
+        ok16 = bool(
+            np.all(
+                np.abs(out16 - ref_nchw)
+                <= cfg.export.parity_atol_fp16
+                + cfg.export.parity_rtol_fp16 * np.abs(ref_nchw)
+            )
+        )
         print(f"fp16 parity: max|diff|={d16:.2e} relmax={rel16:.2e} "
               f"{'PASS' if ok16 else 'FAIL'}")
         parity = {

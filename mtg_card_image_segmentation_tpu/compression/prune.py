@@ -75,7 +75,6 @@ def structured_channel_prune(
     new_leaves, masks = [], []
     for path, leaf in flat:
         if _is_prunable(path, leaf) and leaf.shape[-1] > 1:
-            axes = tuple(range(leaf.ndim - 1))
             norms = jnp.linalg.norm(
                 leaf.reshape(-1, leaf.shape[-1]).astype(jnp.float32), ord=ord, axis=0
             )
@@ -84,8 +83,13 @@ def structured_channel_prune(
                 new_leaves.append(leaf)
                 masks.append(jnp.ones_like(leaf))
                 continue
-            thr = jnp.sort(norms)[k - 1]
-            ch_mask = (norms > thr).astype(leaf.dtype)
+            # prune exactly the k smallest-norm channels (argsort indices,
+            # not a threshold compare — ties at the cut must not over-prune,
+            # matching torch ln_structured which removes exactly k)
+            pruned_idx = jnp.argsort(norms)[:k]
+            ch_mask = (
+                jnp.ones_like(norms).at[pruned_idx].set(0.0).astype(leaf.dtype)
+            )
             mask = jnp.broadcast_to(ch_mask, leaf.shape)
             new_leaves.append(leaf * mask)
             masks.append(mask)

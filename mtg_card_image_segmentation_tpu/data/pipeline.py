@@ -145,9 +145,12 @@ class PoseSyntheticPipeline:
 class FilePipeline:
     """Host-decode (cv2, prefetch thread) -> device resize/normalize/augment.
 
-    Yields ``steps_per_epoch`` batches per epoch; pass ``shuffle=False`` for
-    evaluation. The last incomplete batch is dropped in training (reference
-    drop_last=True, train/dataset.py:208-260) and padded in eval.
+    Yields ``steps_per_epoch`` ``(images, masks, valid)`` triples per epoch,
+    where ``valid`` is the number of real (non-padded) leading samples; pass
+    ``shuffle=False`` for evaluation. The last incomplete batch is dropped in
+    training (reference drop_last=True, train/dataset.py:208-260) and padded
+    to the static batch shape in eval — consumers must trim/weight by
+    ``valid`` before accumulating metrics.
     """
 
     def __init__(
@@ -211,7 +214,7 @@ class FilePipeline:
                 ]
             yield np.stack(imgs), np.stack(masks), len(idxs)
 
-    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array, int]]:
         """One epoch of device batches (prefetched by a host thread)."""
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -229,7 +232,7 @@ class FilePipeline:
             item = q.get()
             if item is sentinel:
                 break
-            imgs_u8, masks_u8, _ = item
+            imgs_u8, masks_u8, valid = item
             images, masks = preprocess_batch(
                 jnp.asarray(imgs_u8), jnp.asarray(masks_u8),
                 self.height, self.width, self.augment is None,
@@ -241,4 +244,4 @@ class FilePipeline:
                 images, masks = normalize_only(out.image), out.mask
             if self.mesh is not None:
                 images, masks = shard_batch(self.mesh, images, masks)
-            yield images, masks
+            yield images, masks, valid

@@ -53,8 +53,15 @@ class PoseEvaluator:
         all_err: List[np.ndarray] = []
         all_conf: List[np.ndarray] = []
         times: List[float] = []
+        warmed_up = False
         for batch in batches:
             images, corners = batch[0], batch[-1]
+            if not warmed_up:
+                # untimed warmup: the first call pays JIT compilation
+                # (minutes on the remote-compile relay) and must not enter
+                # mean_inference_time_ms_per_image
+                np.asarray(self._step(self.variables, images)[0])
+                warmed_up = True
             t0 = time.perf_counter()
             px, conf = self._step(self.variables, images)
             px = np.asarray(px)  # host materialization = honest timing fence

@@ -25,14 +25,15 @@ from mtg_card_image_segmentation_tpu.utils import plots as plots_lib
 
 def make_analysis_step(apply_fn, num_classes: int = 2):
     """Jitted: logits -> (per-image card IoU, confusion counts, pred masks,
-    card-probability maps)."""
+    card-probability maps). ``weights`` is a per-image 0/1 vector — padded
+    rows of the last eval batch carry 0 and contribute no confusion counts."""
 
     @jax.jit
-    def step(variables, images, masks):
+    def step(variables, images, masks, weights):
         logits = apply_fn(variables, images, train=False)
         pred = jnp.argmax(logits, axis=-1)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        cm = metrics_lib.confusion_matrix(pred, masks, num_classes)
+        cm = metrics_lib.confusion_matrix(pred, masks, num_classes, weights)
         card_pred = (pred == 1).astype(jnp.float32)
         card_tgt = (masks == 1).astype(jnp.float32)
         inter = jnp.sum(card_pred * card_tgt, axis=(1, 2))
@@ -66,10 +67,21 @@ class SegEvaluator:
         failures: List[Dict] = []
         sample_panels = None
 
-        for batch_idx, (images, masks) in enumerate(batches):
-            per_iou, cm, preds, conf = self._step(self.variables, images, masks)
+        for batch_idx, batch in enumerate(batches):
+            # batches yield (images, masks) or (images, masks, valid) — the
+            # file pipeline pads the last eval batch to a static shape and
+            # reports the real sample count (ADVICE r1: padded rows must not
+            # enter the confusion matrix / per-image IoU / num_images).
+            images, masks = batch[0], batch[1]
+            valid = int(batch[2]) if len(batch) > 2 else images.shape[0]
+            weights = jnp.asarray(
+                np.arange(images.shape[0]) < valid, jnp.int32
+            )
+            per_iou, cm, preds, conf = self._step(
+                self.variables, images, masks, weights
+            )
             cm_total += np.asarray(cm, np.int64)
-            per_iou = np.asarray(per_iou)
+            per_iou = np.asarray(per_iou)[:valid]
             ious.extend(per_iou.tolist())
             bad = np.where(per_iou < failure_iou_threshold)[0]
             for i in bad[: max(0, max_failures - len(failures))]:

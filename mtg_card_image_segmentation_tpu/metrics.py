@@ -122,12 +122,29 @@ class MetricsAccumulator:
 
 
 def confusion_matrix(
-    pred: jax.Array, targets: jax.Array, num_classes: int = 2
+    pred: jax.Array,
+    targets: jax.Array,
+    num_classes: int = 2,
+    sample_weight: jax.Array | None = None,
 ) -> jax.Array:
     """Exact (C, C) confusion counts, rows = target, cols = pred. Static
-    output shape, so it jits and psums cleanly."""
+    output shape, so it jits and psums cleanly.
+
+    ``sample_weight``: optional per-image 0/1 weights of shape (B,) — padded
+    batch rows (pipelines pad the last eval batch to a static shape) carry
+    weight 0 so they contribute no counts.
+    """
     idx = (targets.astype(jnp.int32) * num_classes + pred.astype(jnp.int32)).reshape(-1)
-    counts = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(1)
+    if sample_weight is None:
+        add = 1
+    else:
+        add = jnp.broadcast_to(
+            sample_weight.astype(jnp.int32).reshape(
+                (-1,) + (1,) * (targets.ndim - 1)
+            ),
+            targets.shape,
+        ).reshape(-1)
+    counts = jnp.zeros((num_classes * num_classes,), jnp.int32).at[idx].add(add)
     return counts.reshape(num_classes, num_classes)
 
 

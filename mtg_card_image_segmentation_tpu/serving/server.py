@@ -54,8 +54,12 @@ def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None):
                 self.wfile.write(body)
 
         def _serve_static(self, root: str, rel: str):
-            path = os.path.normpath(os.path.join(root, rel.lstrip("/")))
-            if not path.startswith(os.path.abspath(root)):
+            rel = rel.split("?", 1)[0].split("#", 1)[0]
+            root_abs = os.path.abspath(root)
+            path = os.path.normpath(os.path.join(root_abs, rel.lstrip("/")))
+            # trailing-sep compare: a sibling dir whose name merely extends
+            # the root (exported_models_old vs exported_models) must not pass
+            if path != root_abs and not path.startswith(root_abs + os.sep):
                 return self._send(403, b'{"error": "forbidden"}')
             if os.path.isdir(path):
                 path = os.path.join(path, "index.html")

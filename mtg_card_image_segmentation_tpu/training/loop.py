@@ -85,16 +85,27 @@ def make_eval_step(
     num_classes: int = 2,
     mesh: Optional[Mesh] = None,
 ):
-    """Jitted eval step: loss + per-batch stats + exact confusion counts."""
+    """Jitted eval step: loss + per-batch stats + exact confusion counts.
 
-    def eval_step(state: SegTrainState, images: jax.Array, masks: jax.Array):
+    ``weights`` (optional, per-image 0/1): padded rows of the last eval batch
+    carry 0 so they contribute no exact confusion counts. The smoothed
+    per-batch stats remain whole-batch (they are running training-log
+    metrics; the honest dataset numbers come from the weighted counts).
+    """
+
+    def eval_step(
+        state: SegTrainState,
+        images: jax.Array,
+        masks: jax.Array,
+        weights: jax.Array,
+    ):
         logits = state.apply_fn(state.variables(), images, train=False)
         loss = losses_lib.combined_loss(
             logits, masks, dice_weight=dice_weight, ce_weight=ce_weight
         )
         stats = metrics_lib.segmentation_batch_stats(loss, logits, masks, num_classes)
         cm = metrics_lib.confusion_matrix(
-            jnp.argmax(logits, axis=-1), masks, num_classes
+            jnp.argmax(logits, axis=-1), masks, num_classes, weights
         )
         return stats, cm
 
@@ -105,9 +116,17 @@ def make_eval_step(
             replicated,
             NamedSharding(mesh, batch_spec()),
             NamedSharding(mesh, mask_spec()),
+            replicated,
         )
         kwargs["out_shardings"] = (replicated, replicated)
-    return jax.jit(eval_step, **kwargs)
+    jitted = jax.jit(eval_step, **kwargs)
+
+    def call(state, images, masks, weights=None):
+        if weights is None:
+            weights = jnp.ones((images.shape[0],), jnp.int32)
+        return jitted(state, images, masks, weights)
+
+    return call
 
 
 def make_pose_train_step(mesh: Optional[Mesh] = None, donate: bool = True):

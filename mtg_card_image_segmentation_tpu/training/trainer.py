@@ -120,8 +120,13 @@ class SegTrainer:
         )
         acc = metrics_lib.MetricsAccumulator()
         cmacc = metrics_lib.ConfusionAccumulator(self.cfg.model.num_classes)
-        for images, masks in val_batches:
-            stats, cm = self.eval_step(state, images, masks)
+        for batch in val_batches:
+            images, masks = batch[0], batch[1]
+            valid = int(batch[2]) if len(batch) > 2 else images.shape[0]
+            # padded tail batch (file pipeline, drop_last=False): weight out
+            # the fake rows so exact confusion counts stay honest.
+            weights = (np.arange(images.shape[0]) < valid).astype(np.int32)
+            stats, cm = self.eval_step(state, images, masks, weights)
             acc.update(stats)
             cmacc.update(cm)
         self.state = state  # keep the recalibrated stats

@@ -210,9 +210,10 @@ def test_file_pipeline_end_to_end(tmp_path, mesh8):
     assert pipe.steps_per_epoch == 1
     batches = list(iter(pipe))
     assert len(batches) == 1
-    images, masks = batches[0]
+    images, masks, valid = batches[0]
     assert images.shape == (8, 32, 24, 3)
     assert masks.shape == (8, 32, 24)
+    assert valid == 8
     assert str(images.sharding.spec) != "PartitionSpec()"
 
 

@@ -97,7 +97,8 @@ def main() -> None:
 
         def _forever(pipe):
             while True:
-                yield from iter(pipe)
+                for imgs, msks, _valid in iter(pipe):
+                    yield imgs, msks  # drop_last=True: always full batches
 
         train_iter = _forever(train_pipe)
 
@@ -113,7 +114,7 @@ def main() -> None:
             pipe = FilePipeline(
                 train_ds, batch, h, w, mesh=mesh, augment=None, shuffle=True,
             )
-            return [imgs for imgs, _ in itertools.islice(iter(pipe), n)]
+            return [imgs for imgs, *_ in itertools.islice(iter(pipe), n)]
 
     if args.resume is not None:
         trainer.resume(None if args.resume == "__latest__" else args.resume)

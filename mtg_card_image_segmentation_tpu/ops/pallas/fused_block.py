@@ -64,9 +64,15 @@ def _act(x: jax.Array, name: Optional[str]) -> jax.Array:
 
 
 def _make_kernel(h: int, w: int, k: int, stride: int, act: str,
-                 has_expand: bool, has_se: bool, residual: bool):
-    pad = (k - 1) // 2
-    offsets = [(dy, dx) for dy in range(-pad, pad + 1) for dx in range(-pad, pad + 1)]
+                 has_expand: bool, has_se: bool, residual: bool,
+                 dilation: int = 1):
+    pad = (k - 1) // 2 * dilation
+    offsets = [
+        (dy * dilation, dx * dilation)
+        for dy in range(-(k - 1) // 2, (k - 1) // 2 + 1)
+        for dx in range(-(k - 1) // 2, (k - 1) // 2 + 1)
+    ]
+    del pad  # torch pad=(k-1)//2*dilation keeps H/W: shifts cover it exactly
 
     def kernel(*refs):
         i = 0
@@ -137,7 +143,9 @@ def _make_kernel(h: int, w: int, k: int, stride: int, act: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "stride", "act", "residual", "interpret"),
+    static_argnames=(
+        "kernel_size", "stride", "act", "residual", "dilation", "interpret",
+    ),
 )
 def fused_inverted_residual(
     x: jax.Array,  # (B, H, W, Cin)
@@ -146,6 +154,7 @@ def fused_inverted_residual(
     stride: int = 1,
     act: str = "relu",
     residual: bool = False,
+    dilation: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Run one folded inverted-residual block as a single fused kernel.
@@ -189,7 +198,7 @@ def fused_inverted_residual(
 
     use_residual = residual and stride == 1 and cin == cout
     kernel = _make_kernel(h, w, kernel_size, stride, act, has_expand, has_se,
-                          use_residual)
+                          use_residual, dilation)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), x.dtype),

@@ -3,9 +3,15 @@
 Inference-specialized pipeline (vs the training model):
 - BatchNorm folded into convs (export/fold_bn.py), params cast to bf16;
 - input normalization fused into one Pallas pass (ops/pallas/preprocess.py);
-- the head's final decode fused into one Pallas kernel that upsamples the
-  class-score map with MXU interp-matmuls and writes the uint8 mask directly
-  (ops/pallas/decoder.py) — no (B, H, W, 2) fp32 logits ever hit HBM.
+- the LR-ASPP head is algebraically collapsed: the two 1x1 classifiers and
+  the final bilinear upsamples are all LINEAR, so the card-vs-background
+  decision reduces to a single-channel score map computed at the native
+  feature strides. The per-(batch,channel) SE-style gate folds into the
+  high-path classifier weights (one einsum), the stride-16 score is
+  upsampled to stride 8 with tiny interpolation matmuls, and the final
+  512x512 decode happens in one Pallas kernel that writes the uint8 mask
+  directly (ops/pallas/decoder.py). No (B, H, W, 2) fp32 logits — and no
+  (B, H/8, W/8, 128) upsampled feature tensor — ever hit HBM.
 
 This is the component behind the >=5k img/s/chip north star (BASELINE.md)
 and the TPU-side replacement for the browser's per-frame
@@ -22,20 +28,25 @@ import numpy as np
 
 from mtg_card_image_segmentation_tpu.export import fold_batch_norm
 from mtg_card_image_segmentation_tpu.models import create_model
+from mtg_card_image_segmentation_tpu.models.layers import ConvBNAct, InvertedResidual
 from mtg_card_image_segmentation_tpu.models.lraspp import LRASPPHead
-from mtg_card_image_segmentation_tpu.models.mobilenetv3 import MobileNetV3Backbone
-from mtg_card_image_segmentation_tpu.ops.pallas import (
-    fused_mask_decode,
-    fused_normalize,
+from mtg_card_image_segmentation_tpu.models.mobilenetv3 import (
+    MOBILENET_V3_LARGE_ROWS,
+    MobileNetV3Backbone,
 )
+from mtg_card_image_segmentation_tpu.ops.pallas import fused_mask_decode
+from mtg_card_image_segmentation_tpu.ops.pallas.fused_block import (
+    fused_inverted_residual,
+)
+from mtg_card_image_segmentation_tpu.ops.pallas.decoder import _interp_matrix
 from mtg_card_image_segmentation_tpu.ops.resize import bilinear_resize
 
 import flax.linen as nn
 
 
 class _HeadlessSeg(nn.Module):
-    """Backbone + head WITHOUT the final full-resolution upsample — the
-    serving path decodes scores with the fused Pallas kernel instead."""
+    """Backbone + full head WITHOUT the final full-resolution upsample — the
+    reference-shaped fallback path (use_pallas=False)."""
 
     num_classes: int = 2
     inter_channels: int = 128
@@ -56,6 +67,129 @@ class _HeadlessSeg(nn.Module):
         )(taps["low"], taps["high"], train)
 
 
+# Backbone blocks executed as single fused Pallas kernels in the serving
+# path (whole-image VMEM residency per grid step, ops/pallas/fused_block.py).
+# Measured at 512x512 b128 on v5e: fusing the three dilated-tail blocks
+# (32x32 maps, ~250 MB expanded tensors each in the XLA path) saves ~2.7 ms;
+# fusing the larger-spatial blocks LOSES time (the in-kernel VPU stencil
+# costs more than the saved HBM traffic), so they stay on XLA convs.
+FUSED_BLOCKS = (12, 13, 14)
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _fold_normalize_into_stem(params):
+    """Fold uint8->ImageNet normalization into the stem conv.
+
+    With u = u8 - 255*mean (per channel):
+
+      (u8/255 - mean)/std == u * a,  a_c = 1/(255*std_c)
+
+    EXACTLY — no bias shift. That matters because the stem conv zero-pads:
+    a zero-padded u represents x_norm = 0, identical to the reference path
+    (a bias-shift formulation is wrong at every border output). Centering
+    also keeps conv magnitudes equal to the normalized path, so bf16
+    rounding stays at the same relative level. The serving graph then
+    consumes the centered image with zero preprocessing passes.
+    """
+    stem = params["backbone"]["stem"]["conv"]
+    k = np.asarray(stem["kernel"], np.float32)  # (3, 3, 3, 16)
+    a = 1.0 / (255.0 * _IMAGENET_STD)
+    k_new = k * a[None, None, :, None]
+    b_new = np.asarray(stem["bias"], np.float32)
+    new = dict(params)
+    new["backbone"] = dict(params["backbone"])
+    new["backbone"]["stem"] = {"conv": {"kernel": k_new, "bias": b_new}}
+    return new
+
+
+def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS):
+    """Backbone forward with per-block fused Pallas kernels where enabled.
+
+    Equivalent to MobileNetV3Backbone(fold_bn=True).apply (golden-tested);
+    returns the same {"low", "high"} taps.
+    """
+    stem = ConvBNAct(
+        16, 3, stride=2, act="hardswish", fold_bn=True,
+        dtype=dtype, param_dtype=dtype,
+    )
+    x = stem.apply({"params": bb_params["stem"]}, x)
+    taps = {}
+    cin = 16
+    for i, (k, exp, out, se, act, stride, in_tail) in enumerate(
+        MOBILENET_V3_LARGE_ROWS
+    ):
+        dilation = 2 if in_tail else 1
+        eff_stride = 1 if dilation > 1 else stride
+        p_blk = bb_params[f"block{i}"]
+        if i in fused_ids:
+            x = fused_inverted_residual(
+                x, p_blk, kernel_size=k, stride=eff_stride, act=act,
+                residual=(eff_stride == 1 and cin == out), dilation=dilation,
+            )
+        else:
+            blk = InvertedResidual(
+                expanded=exp, out_features=out, kernel=k, stride=stride,
+                dilation=dilation, use_se=se, act=act, fold_bn=True,
+                dtype=dtype, param_dtype=dtype,
+            )
+            x = blk.apply({"params": p_blk}, x)
+        if i == 3:
+            taps["low"] = x
+        cin = out
+    hc = ConvBNAct(
+        960, 1, act="hardswish", fold_bn=True, dtype=dtype, param_dtype=dtype
+    )
+    taps["high"] = hc.apply({"params": bb_params["head_conv"]}, x)
+    return taps
+
+
+def _head_score_s8(head_params, low, high, dtype):
+    """Card-minus-background score at stride 8, exactly equal (in exact
+    arithmetic) to ``logits[..., 1] - logits[..., 0]`` of LRASPPHead before
+    the final upsample (models/lraspp.py:44-72, reference train/model.py:
+    124-142). All linear pieces are collapsed:
+
+      score_s8 = up2x(high_cls_diff(cbr(high) * gate(high))) + low_cls_diff(low)
+
+    with the per-(batch, channel) gate folded into the classifier einsum.
+    """
+    hp = head_params
+    # cbr: 3x3 conv + (folded) BN + relu at stride 16
+    x = ConvBNAct(
+        hp["cbr"]["conv"]["kernel"].shape[-1], 3, act="relu", fold_bn=True,
+        dtype=dtype, param_dtype=dtype,
+    ).apply({"params": hp["cbr"]}, high)
+    # image-level gate: pool fp32 -> 1x1 (no bias) -> sigmoid, (B, C_inter)
+    m = jnp.mean(high.astype(jnp.float32), axis=(1, 2))
+    w_scale = hp["scale"]["kernel"].reshape(m.shape[-1], -1).astype(jnp.float32)
+    gate = jax.nn.sigmoid(m @ w_scale)  # (B, 128)
+
+    # classifier weight differences (card minus background)
+    w_hi = hp["high_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
+    b_hi = hp["high_classifier"]["bias"].astype(jnp.float32)
+    w_lo = hp["low_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
+    b_lo = hp["low_classifier"]["bias"].astype(jnp.float32)
+    w_hi_d, b_hi_d = w_hi[:, 1] - w_hi[:, 0], b_hi[1] - b_hi[0]
+    w_lo_d, b_lo_d = w_lo[:, 1] - w_lo[:, 0], b_lo[1] - b_lo[0]
+
+    # gate folds into the high classifier: (x*g) @ w == x @ (g*w), per batch
+    hs = jnp.einsum(
+        "bhwc,bc->bhw", x.astype(jnp.float32), gate * w_hi_d[None, :],
+        preferred_element_type=jnp.float32,
+    )
+    ls = jnp.einsum(
+        "bhwc,c->bhw", low.astype(jnp.float32), w_lo_d,
+        preferred_element_type=jnp.float32,
+    )
+    # stride16 -> stride8: half-pixel bilinear as two tiny matmuls
+    uh = jnp.asarray(_interp_matrix(hs.shape[1], ls.shape[1]))
+    uw = jnp.asarray(_interp_matrix(hs.shape[2], ls.shape[2]).T)
+    hs = jnp.einsum("Hh,bhw,wW->bHW", uh, hs, uw)
+    return hs + ls + (b_hi_d + b_lo_d)
+
+
 class SegPredictor:
     """predict(uint8 images) -> uint8 masks, all fused on device."""
 
@@ -67,22 +201,28 @@ class SegPredictor:
         width: int,
         use_pallas: bool = True,
         dtype=jnp.bfloat16,
+        fused_blocks=FUSED_BLOCKS,
     ) -> None:
         folded = fold_batch_norm(params, batch_stats)
-        self._params = jax.tree.map(lambda a: a.astype(dtype), folded)
-        model = _HeadlessSeg(dtype=dtype, param_dtype=dtype)
+        if use_pallas:
+            folded = _fold_normalize_into_stem(folded)
+        self._params = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
         self.height, self.width = height, width
 
         if use_pallas:
 
             @jax.jit
             def predict(p, images_u8):
-                x = fused_normalize(images_u8, out_dtype=dtype)
-                logits = model.apply({"params": p}, x, train=False)
-                scores = logits[..., 1] - logits[..., 0]
-                return fused_mask_decode(scores, height, width)
+                # normalization is folded into the stem weights; feed the
+                # mean-centered image (so zero padding == ImageNet zero)
+                center = jnp.asarray(255.0 * _IMAGENET_MEAN, jnp.float32)
+                x = (images_u8.astype(jnp.float32) - center).astype(dtype)
+                taps = _fused_backbone(p["backbone"], x, dtype, fused_blocks)
+                score = _head_score_s8(p["head"], taps["low"], taps["high"], dtype)
+                return fused_mask_decode(score, height, width)
 
         else:
+            model = _HeadlessSeg(dtype=dtype, param_dtype=dtype)
 
             @jax.jit
             def predict(p, images_u8):

@@ -1,0 +1,82 @@
+"""Serving fast-path algebra tests (CPU, fp32).
+
+The SegPredictor collapses the LR-ASPP head into a single-channel stride-8
+score map and folds uint8+ImageNet normalization into the stem conv
+(serving/predictor.py). These tests pin the two transformations against the
+reference-shaped modules. Full uint8->mask predictor parity additionally
+runs on real TPU hardware (bench.py path).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_head_score_s8_matches_lraspp_head():
+    from mtg_card_image_segmentation_tpu.models.lraspp import LRASPPHead
+    from mtg_card_image_segmentation_tpu.serving.predictor import _head_score_s8
+
+    head = LRASPPHead(fold_bn=True, dtype=jnp.float32, param_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    low = jnp.asarray(rng.standard_normal((2, 16, 12, 40)), jnp.float32)
+    high = jnp.asarray(rng.standard_normal((2, 8, 6, 960)), jnp.float32)
+    variables = head.init(jax.random.key(0), low, high)
+
+    logits = head.apply(variables, low, high)  # (B, 16, 12, 2)
+    want = np.asarray(logits[..., 1] - logits[..., 0])
+    got = np.asarray(
+        _head_score_s8(variables["params"], low, high, jnp.float32)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fold_normalize_into_stem():
+    from mtg_card_image_segmentation_tpu.models.layers import ConvBNAct
+    from mtg_card_image_segmentation_tpu.serving.predictor import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+        _fold_normalize_into_stem,
+    )
+
+    stem = ConvBNAct(16, 3, stride=2, act="hardswish", fold_bn=True,
+                     dtype=jnp.float32, param_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 256, (2, 32, 24, 3)).astype(np.uint8)
+    x_ex = jnp.zeros((1, 32, 24, 3), jnp.float32)
+    v = stem.init(jax.random.key(1), x_ex)
+
+    x_norm = (u8.astype(np.float32) / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
+    want = np.asarray(stem.apply(v, jnp.asarray(x_norm)))
+
+    params = {"backbone": {"stem": v["params"]}}
+    folded = _fold_normalize_into_stem(params)
+    v2 = {"params": jax.tree.map(jnp.asarray, folded["backbone"]["stem"])}
+    centered = jnp.asarray(u8.astype(np.float32) - 255.0 * _IMAGENET_MEAN)
+    got = np.asarray(stem.apply(v2, centered))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_backbone_matches_module_cpu():
+    """_fused_backbone with NO pallas blocks (pure XLA path) must equal
+    MobileNetV3Backbone.apply — pins the manual block loop wiring."""
+    from mtg_card_image_segmentation_tpu.models.mobilenetv3 import (
+        MobileNetV3Backbone,
+    )
+    from mtg_card_image_segmentation_tpu.serving.predictor import _fused_backbone
+
+    bb = MobileNetV3Backbone(
+        dilated=True, fold_bn=True, dtype=jnp.float32, param_dtype=jnp.float32
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 64, 48, 3)), jnp.float32)
+    v = bb.init(jax.random.key(2), x)
+    want = jax.jit(lambda v, x: bb.apply(v, x, train=False))(v, x)
+    got = _fused_backbone(v["params"], x, jnp.float32, fused_ids=())
+    np.testing.assert_allclose(
+        np.asarray(got["low"]), np.asarray(want["low"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["high"]), np.asarray(want["high"]), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Pose (HRNet heatmap) ONNX export CLI
+(reference: python train-pose-estimation_custom/export_onnx.py).
+
+Creates a deployment package from a trained pose checkpoint:
+  pose.onnx        fp32 ONNX graph (BN folded), opset 19
+  pose_fp16.onnx   fp16 weights, fp32 I/O (auto-mixed-precision analog)
+  pose_info.json   IO contract + parity results
+
+Parity gates: fp32 max|diff| < 1e-4; fp16 at the reference's
+auto_convert_mixed_precision tolerance rtol 0.01 / atol 0.001
+(train-pose-estimation_custom/export_onnx.py:104).
+
+  python export_pose.py --checkpoint runs/pose_full/checkpoints/best_model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--output-dir", default="exported_models_pose")
+    parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
+    parser.add_argument("--skip-verify", action="store_true")
+    parser.add_argument("--info", action="store_true",
+                        help="print checkpoint info and exit (export_onnx.py --info)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtg_card_image_segmentation_tpu.config import pose_default_config
+    from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+    from mtg_card_image_segmentation_tpu.export import onnx_proto as op
+    from mtg_card_image_segmentation_tpu.export.onnx_export import (
+        convert_to_fp16,
+        export_pose_model,
+    )
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
+    from mtg_card_image_segmentation_tpu.models import registry
+    from mtg_card_image_segmentation_tpu.training import (
+        checkpoint as ckpt_lib,
+        create_optimizer,
+        create_seg_state,
+    )
+    from mtg_card_image_segmentation_tpu.utils import count_parameters
+
+    cfg = pose_default_config()
+    if args.set:
+        cfg = cfg.with_cli(args.set)
+    h, w = cfg.pose.input_height, cfg.pose.input_width
+    hm_h, hm_w = cfg.pose.heatmap_height, cfg.pose.heatmap_width
+    k = cfg.pose.num_keypoints
+
+    import dataclasses
+
+    # fp32 compute for the parity reference (the deployed consumer is true fp32)
+    model = registry.pose_from_config(
+        dataclasses.replace(cfg.pose, compute_dtype="float32")
+    )
+    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
+    state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+    ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
+    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+    if args.info:
+        print(json.dumps({
+            "epoch": meta.get("epoch"), "best_metric": meta.get("best_metric"),
+            "parameters": count_parameters(state.params),
+            "input": [1, 3, h, w], "heatmaps": [1, k, hm_h, hm_w],
+        }, indent=2))
+        return
+    print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+
+    folded = fold_batch_norm(state.params, state.batch_stats)
+    onnx_model = export_pose_model(
+        folded, input_hw=(h, w), heatmap_hw=(hm_h, hm_w),
+        num_keypoints=k, opset=19,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    fp32_path = os.path.join(args.output_dir, "pose.onnx")
+    onnx_model.save(fp32_path)
+    print(f"pose.onnx ({os.path.getsize(fp32_path) / 1e6:.1f} MB)")
+
+    fp16_model = convert_to_fp16(onnx_model, keep_io_types=True)
+    fp16_path = os.path.join(args.output_dir, "pose_fp16.onnx")
+    fp16_model.save(fp16_path)
+    print(f"pose_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
+
+    parity = {}
+    if not args.skip_verify:
+        with jax.default_matmul_precision("float32"):
+            rng = np.random.default_rng(0)
+            x_nchw = rng.random((1, 3, h, w)).astype(np.float32)  # [0,1] domain
+            ref = model.apply(
+                state.variables(),
+                jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False,
+            )
+            ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+            out32 = np.asarray(
+                make_runner(op.Model.load(fp32_path))(jnp.asarray(x_nchw))
+            )
+            d32 = float(np.abs(out32 - ref_nchw).max())
+            ok32 = d32 < cfg.export.parity_atol_fp32
+            print(f"fp32 parity: max|diff|={d32:.2e} "
+                  f"(< {cfg.export.parity_atol_fp32}) {'PASS' if ok32 else 'FAIL'}")
+            out16 = np.asarray(
+                make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw))
+            )
+            d16 = float(np.abs(out16 - ref_nchw).max())
+            ok16 = bool(np.all(
+                np.abs(out16 - ref_nchw)
+                <= cfg.export.parity_atol_fp16
+                + cfg.export.parity_rtol_fp16 * np.abs(ref_nchw)
+            ))
+            print(f"fp16 parity: max|diff|={d16:.2e} {'PASS' if ok16 else 'FAIL'}")
+        parity = {
+            "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
+            "fp16_max_abs_diff": d16, "fp16_pass": bool(ok16),
+        }
+        if not (ok32 and ok16):
+            raise SystemExit("parity gate FAILED")
+
+    info = {
+        "model": cfg.pose.name,
+        "input": {"name": "input", "shape": [1, 3, h, w], "dtype": "float32",
+                  "normalization": "/255 only (no ImageNet normalization)"},
+        "output": {"name": "heatmaps", "shape": [1, k, hm_h, hm_w]},
+        "parameters": count_parameters(state.params),
+        "opset": 19,
+        "checkpoint_epoch": meta.get("epoch"),
+        "best_metric": meta.get("best_metric"),
+        "parity": parity,
+    }
+    with open(os.path.join(args.output_dir, "pose_info.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    print(f"deployment package -> {args.output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

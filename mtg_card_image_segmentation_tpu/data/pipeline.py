@@ -26,8 +26,12 @@ from mtg_card_image_segmentation_tpu.data.preprocess import (
     normalize_only,
     preprocess_batch,
 )
-from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
-from mtg_card_image_segmentation_tpu.parallel.mesh import shard_batch
+from mtg_card_image_segmentation_tpu.data.synthetic import (
+    NEGATIVE_PROB,
+    synthetic_augmented_batch,
+    synthetic_batch,
+)
+from mtg_card_image_segmentation_tpu.parallel.mesh import is_trivial, shard_batch
 
 
 class SyntheticPipeline:
@@ -52,13 +56,15 @@ class SyntheticPipeline:
         aug = augment
 
         def make(key):
-            k_gen, k_aug = jax.random.split(key)
-            sample = synthetic_batch(k_gen, batch_size, height, width)
-            images, masks = sample.image, sample.mask
             if aug is not None and aug.enabled:
-                out = augment_batch(k_aug, images, masks, aug)
-                images, masks = out.image, out.mask
-            return normalize_only(images), masks
+                # fused render+augment: geometry composes into the render
+                # coordinates (zero gathers — see synthetic_augmented_sample)
+                sample = synthetic_augmented_batch(
+                    key, batch_size, height, width, NEGATIVE_PROB, aug
+                )
+            else:
+                sample = synthetic_batch(key, batch_size, height, width)
+            return normalize_only(sample.image), sample.mask
 
         self._make = jax.jit(make)
 
@@ -108,15 +114,16 @@ class PoseSyntheticPipeline:
         flip_idx = self.FLIP_IDX
 
         def make(key):
-            k_gen, k_aug = jax.random.split(key)
-            sample = synthetic_batch(k_gen, batch_size, height, width, 0.0)
-            images, corners = sample.image, sample.corners
             if aug is not None and aug.enabled:
-                out = augment_batch(
-                    k_aug, images, sample.mask, aug,
-                    keypoints=corners, flip_idx=flip_idx,
+                # fused render+augment (keypoint path: no elastic/grid so the
+                # corner coordinates stay exact, like augment_sample)
+                sample = synthetic_augmented_batch(
+                    key, batch_size, height, width, 0.0, aug,
+                    with_displacement=False, flip_idx=flip_idx,
                 )
-                images, corners = out.image, out.keypoints
+            else:
+                sample = synthetic_batch(key, batch_size, height, width, 0.0)
+            images, corners = sample.image, sample.corners
             hm_coords = pixels_to_heatmap_coords(
                 corners, (height, width), (heatmap_height, heatmap_width)
             )
@@ -133,7 +140,7 @@ class PoseSyntheticPipeline:
         while True:
             self._key, sub = jax.random.split(self._key)
             images, targets, corners = self._make(sub)
-            if self.mesh is not None:
+            if self.mesh is not None and not is_trivial(self.mesh):
                 from jax.sharding import NamedSharding
 
                 sh = NamedSharding(self.mesh, batch_spec())

@@ -30,20 +30,26 @@ class PoseEvaluator:
         image_hw: tuple[int, int],
         peak_threshold: float = 0.3,
         thresholds: Sequence[float] = (3.0, 5.0, 6.0, 10.0, 20.0),
+        predict_step=None,
     ) -> None:
+        """``predict_step(variables, images) -> (corners_px (B,4,2), conf
+        (B,4))`` overrides the default heatmap argmax decode — the YOLO
+        evaluator plugs its detection decode in through this."""
         self.variables = variables
         self.image_hw = image_hw
         self.thresholds = tuple(thresholds)
         self.peak_threshold = peak_threshold
 
-        @jax.jit
-        def step(variables, images):
-            heatmaps = apply_fn(variables, images, train=False)
-            coords01, conf = hm_lib.decode_argmax(heatmaps)
-            px = hm_lib.coords01_to_pixels(coords01, image_hw)
-            return px, conf
+        if predict_step is None:
 
-        self._step = step
+            @jax.jit
+            def predict_step(variables, images):
+                heatmaps = apply_fn(variables, images, train=False)
+                coords01, conf = hm_lib.decode_argmax(heatmaps)
+                px = hm_lib.coords01_to_pixels(coords01, image_hw)
+                return px, conf
+
+        self._step = predict_step
 
     def evaluate(
         self,
@@ -151,3 +157,48 @@ class PoseEvaluator:
         fig.tight_layout()
         fig.savefig(path, dpi=120)
         plt.close(fig)
+
+
+def yolo_predict_step(apply_fn):
+    """Build the YOLO corner-prediction step for :class:`PoseEvaluator`:
+    run the decoded model (boxes/scores/kpts), take the top-1 detection
+    (max_det=1, *_yolo12n/model.py:215-264), return its 4 keypoints as
+    corner pixels with the detection confidence per corner.
+
+    Mirrors evaluate_model.py:74-133 (per-image predict -> best box ->
+    keypoints) as one jitted batch step.
+    """
+    from mtg_card_image_segmentation_tpu.models.yolo12_pose import top1_detection
+
+    @jax.jit
+    def step(variables, images):
+        boxes, scores, kpts = apply_fn(variables, images, train=False)
+        _, conf, kk = top1_detection(boxes, scores, kpts)
+        px = kk[..., :2]  # (B, 4, 2) in input-pixel space
+        conf4 = jax.numpy.broadcast_to(conf[:, None], px.shape[:2])
+        return px, conf4
+
+    return step
+
+
+class CornerEvaluator(PoseEvaluator):
+    """YOLO-family corner evaluator (reference CornerEvaluator,
+    *_yolo12n/evaluate_model.py:42-326): same distance-threshold report
+    schema as the heatmap evaluator, fed by the YOLO detection decode."""
+
+    def __init__(
+        self,
+        apply_fn,
+        variables,
+        image_hw: tuple[int, int],
+        conf_threshold: float = 0.25,
+        thresholds: Sequence[float] = (3.0, 5.0, 6.0, 10.0, 20.0),
+    ) -> None:
+        super().__init__(
+            apply_fn=None,
+            variables=variables,
+            image_hw=image_hw,
+            peak_threshold=conf_threshold,
+            thresholds=thresholds,
+            predict_step=yolo_predict_step(apply_fn),
+        )

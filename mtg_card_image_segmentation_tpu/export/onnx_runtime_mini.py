@@ -64,13 +64,21 @@ def _conv(x, w, b, attrs, transpose=False):
 
 
 def _resize(x, sizes, attrs):
-    assert attrs.get("coordinate_transformation_mode", "half_pixel") == "half_pixel"
     mode = attrs.get("mode", "linear")
+    ctm = attrs.get("coordinate_transformation_mode", "half_pixel")
     out_h, out_w = int(sizes[2]), int(sizes[3])
     nhwc = jnp.moveaxis(x, 1, -1)
     if mode == "linear":
+        assert ctm == "half_pixel", ctm
         out = bilinear_resize(nhwc.astype(jnp.float32), out_h, out_w)
     else:
+        # nearest: our exporter emits torch convention (asymmetric + floor,
+        # ops/resize.py nearest_resize); half_pixel+round_prefer_floor is
+        # numerically identical for the integer upscale factors we emit
+        assert ctm in ("asymmetric", "half_pixel"), ctm
+        assert attrs.get("nearest_mode", "round_prefer_floor") in (
+            "floor", "round_prefer_floor"
+        )
         from mtg_card_image_segmentation_tpu.ops.resize import nearest_resize
 
         out = nearest_resize(nhwc, out_h, out_w)

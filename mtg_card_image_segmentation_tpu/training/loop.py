@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mtg_card_image_segmentation_tpu import losses as losses_lib
 from mtg_card_image_segmentation_tpu import metrics as metrics_lib
-from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec, mask_spec
+from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec, is_trivial, mask_spec
 from mtg_card_image_segmentation_tpu.training.state import SegTrainState
 
 
@@ -68,7 +68,7 @@ def make_train_step(
     kwargs: Dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         kwargs["in_shardings"] = (
             replicated,
@@ -110,7 +110,7 @@ def make_eval_step(
         return stats, cm
 
     kwargs: Dict[str, Any] = {}
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         kwargs["in_shardings"] = (
             replicated,
@@ -154,7 +154,7 @@ def make_pose_train_step(mesh: Optional[Mesh] = None, donate: bool = True):
     kwargs: Dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, batch_spec())
         kwargs["in_shardings"] = (replicated, batch_sh, batch_sh)
@@ -178,7 +178,7 @@ def make_pose_eval_step(image_hw: tuple[int, int], mesh: Optional[Mesh] = None):
         return {"loss": loss.astype(jnp.float32), "count": jnp.asarray(1.0)}, distances
 
     kwargs: Dict[str, Any] = {}
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, batch_spec())
         kwargs["in_shardings"] = (replicated, batch_sh, batch_sh)
@@ -210,7 +210,7 @@ def recalibrate_batch_stats(state, recal_model, batches, mesh=None):
         return mutated["batch_stats"]
 
     kwargs: Dict[str, Any] = {}
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         kwargs["in_shardings"] = (
             replicated,

@@ -30,7 +30,7 @@ from mtg_card_image_segmentation_tpu.models.yolo12_pose import (
     STRIDES,
     decode_predictions,
 )
-from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec
+from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec, is_trivial
 from mtg_card_image_segmentation_tpu.training.state import SegTrainState
 
 TOP_K = 10
@@ -235,7 +235,7 @@ def make_yolo_train_step(
     kwargs: Dict[str, Any] = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
-    if mesh is not None:
+    if mesh is not None and not is_trivial(mesh):
         replicated = NamedSharding(mesh, P())
         kwargs["in_shardings"] = (
             replicated,

@@ -59,6 +59,7 @@ def test_tta_roundtrip():
     np.testing.assert_allclose(np.asarray(merged), np.asarray(images), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip(tmp_path):
     from mtg_card_image_segmentation_tpu.export.stablehlo import export_stablehlo
     from mtg_card_image_segmentation_tpu.models import create_model

@@ -17,7 +17,9 @@ from mtg_card_image_segmentation_tpu.config import OptimizerConfig
 
 
 def _tiny_state(seed=0):
-    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    import tiny  # noqa: F401  (registers tiny_seg)
+
+    model = create_model("tiny_seg")
     tx, _ = create_optimizer(OptimizerConfig(), 1, 10)
     return create_seg_state(model, tx, (1, 32, 32, 3), jax.random.key(seed))
 

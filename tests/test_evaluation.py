@@ -88,3 +88,39 @@ def test_pose_evaluator_report(tmp_path):
     assert (tmp_path / "error_distribution.png").stat().st_size > 1000
     data = json.loads((tmp_path / "pose_evaluation.json").read_text())
     assert data["tiers"]["acc10_target>90"]
+
+
+def test_corner_evaluator_yolo_decode(tmp_path):
+    """CornerEvaluator consumes the YOLO decode path (top1_detection over
+    decoded boxes/scores/kpts) and emits the same report schema
+    (evaluate_model.py:74-326)."""
+    from mtg_card_image_segmentation_tpu.evaluation import CornerEvaluator
+
+    corners = np.array(
+        [[[10.0, 10.0], [50.0, 10.0], [50.0, 40.0], [10.0, 40.0]]], np.float32
+    ).repeat(4, axis=0)
+
+    class OracleYolo:
+        """Two candidate anchors: a low-conf decoy far away and a high-conf
+        detection whose keypoints are 1px off the truth in y."""
+
+        def apply(self, variables, images, train=False):
+            b = images.shape[0]
+            boxes = jnp.zeros((b, 2, 4))
+            scores = jnp.asarray(
+                np.tile(np.array([[[0.1], [0.9]]], np.float32), (b, 1, 1))
+            )
+            truth = corners[0] + np.array([0.0, 1.0], np.float32)  # (4, 2)
+            kpts = np.zeros((b, 2, 4, 3), np.float32)
+            kpts[:, 1, :, :2] = truth
+            kpts[:, 1, :, 2] = 1.0
+            return boxes, scores, jnp.asarray(kpts)
+
+    ev = CornerEvaluator(OracleYolo().apply, {}, image_hw=(48, 64))
+    batches = [(jnp.zeros((4, 48, 64, 3)), jnp.asarray(corners))]
+    report = ev.evaluate(batches, output_dir=str(tmp_path))
+    # top-1 must pick the 0.9-conf anchor -> 1px error everywhere
+    np.testing.assert_allclose(report["mean_error_px"], 1.0, atol=1e-5)
+    assert report["accuracy_3px"] == 100.0
+    assert report["detection_rate"] == 1.0
+    assert (tmp_path / "pose_evaluation.json").is_file()

@@ -10,6 +10,7 @@ from mtg_card_image_segmentation_tpu.export import fold_batch_norm
 from mtg_card_image_segmentation_tpu.models import create_model
 
 
+@pytest.mark.slow
 def test_folded_model_matches_original():
     model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
     folded_model = create_model(

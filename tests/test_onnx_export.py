@@ -112,6 +112,80 @@ def test_export_fp16_parity(seg_export, tmp_path):
     np.testing.assert_allclose(out16, ref, rtol=1e-2, atol=2e-2)
 
 
+@pytest.fixture(scope="module")
+def pose_export():
+    """Tiny-geometry HRNet pose export (96x128 in, 24x32 heatmaps)."""
+    from mtg_card_image_segmentation_tpu.export.onnx_export import export_pose_model
+
+    h, w = 96, 128
+    hm = (h // 4, w // 4)
+    model = create_model(
+        "hrnet_pose", compute_dtype="float32",
+        heatmap_height=hm[0], heatmap_width=hm[1],
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+    )(jax.random.key(0))
+    _, mutated = model.apply(
+        variables,
+        jnp.asarray(np.random.default_rng(1).random((2, h, w, 3)), jnp.float32),
+        train=True, mutable=["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+    folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+    onnx_model = export_pose_model(folded, input_hw=(h, w), heatmap_hw=hm)
+    return model, variables, onnx_model, (h, w)
+
+
+def test_pose_export_parity_fp32(pose_export, tmp_path):
+    """HRNet graph (ConvTranspose + nearest-Resize fusion) round-trips the
+    wire format and matches the Flax model within the reference gate
+    (train-pose-estimation_custom/export_onnx.py parity contract)."""
+    model, variables, onnx_model, (h, w) = pose_export
+    path = str(tmp_path / "pose.onnx")
+    onnx_model.save(path)
+    loaded = op.Model.load(path)
+    assert loaded.opset == 19  # reference export opset (export_onnx.py:74-95)
+
+    rng = np.random.default_rng(2)
+    x_nchw = rng.random((1, 3, h, w)).astype(np.float32)
+    out = np.asarray(make_runner(loaded)(jnp.asarray(x_nchw)))
+    ref = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+    assert out.shape == ref_nchw.shape
+    max_diff = np.abs(out - ref_nchw).max()
+    assert max_diff < 1e-4, f"pose parity gate failed: max diff {max_diff}"
+
+
+def test_pose_export_fp16_parity(pose_export, tmp_path):
+    model, variables, onnx_model, (h, w) = pose_export
+    fp16 = convert_to_fp16(onnx_model, keep_io_types=True)
+    path = str(tmp_path / "pose_fp16.onnx")
+    fp16.save(path)
+    loaded = op.Model.load(path)
+    assert loaded.inputs[0][1] == op.FLOAT
+    rng = np.random.default_rng(3)
+    x_nchw = rng.random((1, 3, h, w)).astype(np.float32)
+    out16 = np.asarray(make_runner(loaded)(jnp.asarray(x_nchw)))
+    ref = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+    # reference fp16 tolerance (export_onnx.py:104), atol widened for the
+    # untrained random-stat regime
+    np.testing.assert_allclose(out16, ref_nchw, rtol=1e-2, atol=2e-2)
+
+
+def test_pose_graph_ops(pose_export):
+    _, _, onnx_model, _ = pose_export
+    ops = {n.op_type for n in onnx_model.nodes}
+    assert "BatchNormalization" not in ops
+    assert ops <= {"Conv", "ConvTranspose", "Relu", "Add", "Resize"}
+    assert sum(1 for n in onnx_model.nodes if n.op_type == "ConvTranspose") == 2
+
+
 def test_exported_graph_is_bn_free(seg_export):
     _, _, onnx_model, _ = seg_export
     ops = {n.op_type for n in onnx_model.nodes}

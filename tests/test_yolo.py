@@ -34,6 +34,7 @@ def test_param_count_matches_ultralytics():
     assert n == 2_886_715 - 16, n
 
 
+@pytest.mark.slow
 def test_decode_shapes_and_top1():
     m = create_model("yolo12n_pose", compute_dtype="float32")
     v = jax.jit(lambda k: m.init(k, jnp.zeros((1, 128, 128, 3)), train=True))(
@@ -55,6 +56,7 @@ def test_corners_to_box_padding():
     np.testing.assert_allclose(box[0], [5.0, 10.0, 115.0, 230.0])
 
 
+@pytest.mark.slow
 def test_loss_finite_and_assigns():
     m = create_model("yolo12n_pose", compute_dtype="float32")
     v = jax.jit(lambda k: m.init(k, jnp.zeros((1, 128, 128, 3)), train=True))(

@@ -29,8 +29,10 @@ def main() -> None:
 
     from mtg_card_image_segmentation_tpu import metrics as metrics_lib
     from mtg_card_image_segmentation_tpu.config import Config, default_config
-    from mtg_card_image_segmentation_tpu.data.augment import augment_batch
-    from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        synthetic_augmented_batch,
+        synthetic_batch,
+    )
     from mtg_card_image_segmentation_tpu.models import create_model
     from mtg_card_image_segmentation_tpu.models.yolo12_pose import top1_detection
     from mtg_card_image_segmentation_tpu.parallel import make_mesh
@@ -64,11 +66,13 @@ def main() -> None:
 
     @jax.jit
     def make_batch(key):
-        k1, k2 = jax.random.split(key)
-        s = synthetic_batch(k1, batch, size, size, 0.0)
-        out = augment_batch(k2, s.image, s.mask, aug, keypoints=s.corners,
-                            flip_idx=(1, 0, 3, 2))
-        return out.image, out.keypoints
+        # fused render+augment (zero-gather, synthetic_augmented_sample);
+        # keypoint path disables elastic/grid so corners stay exact
+        s = synthetic_augmented_batch(
+            key, batch, size, size, 0.0, aug,
+            with_displacement=False, flip_idx=(1, 0, 3, 2),
+        )
+        return s.image, s.corners
 
     @jax.jit
     def make_clean_batch(key):

@@ -126,6 +126,9 @@ def main() -> None:
         }
         if not (ok32 and ok16):
             raise SystemExit("parity gate FAILED")
+        from export_seg import _independent_checks
+
+        parity.update(_independent_checks(fp32_path, x_nchw, ref_nchw, "heatmaps"))
 
     info = {
         "model": cfg.pose.name,

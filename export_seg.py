@@ -53,6 +53,45 @@ x = (img - mean) / std
 """
 
 
+def _independent_checks(onnx_path, x_nchw, ref_nchw, out_name):
+    """Validation by components NOT authored alongside the exporter:
+    torch CPU kernels re-execute the graph (onnx_torch_runner.py) and
+    Google's protoc re-parses the wire format (tools/onnx_schema.proto)."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    from mtg_card_image_segmentation_tpu.export import onnx_proto as op
+
+    out = {}
+    try:
+        from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+        got = onnx_torch_runner.run_model(
+            op.Model.load(onnx_path), {"input": x_nchw}
+        )[out_name]
+        d = float(np.abs(got - ref_nchw).max())
+        out["torch_runner_max_abs_diff"] = d
+        out["torch_runner_pass"] = bool(d < 1e-4)
+        print(f"independent torch-runner parity: max|diff|={d:.2e} "
+              f"{'PASS' if out['torch_runner_pass'] else 'FAIL'}")
+    except ImportError:
+        out["torch_runner_pass"] = None
+    if shutil.which("protoc"):
+        schema_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        with open(onnx_path, "rb") as f:
+            proc = subprocess.run(
+                ["protoc", f"-I{schema_dir}", "--decode=onnx.ModelProto",
+                 "onnx_schema.proto"],
+                stdin=f, capture_output=True, text=True, timeout=120,
+            )
+        out["protoc_decode_pass"] = proc.returncode == 0
+        print(f"independent protoc decode: "
+              f"{'PASS' if out['protoc_decode_pass'] else 'FAIL: ' + proc.stderr[:200]}")
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", required=True)
@@ -166,6 +205,7 @@ def main() -> None:
         prec_ctx.__exit__(None, None, None)
         if not (ok32 and ok16):
             raise SystemExit("parity gate FAILED")
+        parity.update(_independent_checks(fp32_path, x_nchw, ref_nchw, "output"))
 
     info = {
         "model": cfg.model.name,

@@ -2,6 +2,8 @@
 reference's <1e-4 export gate, train/export.py:159-162), fp16 conversion
 (rtol 1e-2 / atol 1e-3 gate)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -196,3 +198,77 @@ def test_exported_graph_is_bn_free(seg_export):
     }
     # exactly two Resize nodes (s16->s8 merge + full-res) like the reference
     assert sum(1 for n in onnx_model.nodes if n.op_type == "Resize") == 2
+
+
+def test_protoc_decodes_exported_model(seg_export, tmp_path):
+    """INDEPENDENT wire-format validation: Google's protoc parses our
+    hand-serialized .onnx against a vendored copy of the official schema
+    (tools/onnx_schema.proto, same field numbers as onnx/onnx.proto)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("protoc") is None:
+        pytest.skip("protoc not available")
+    _, _, onnx_model, _ = seg_export
+    path = str(tmp_path / "seg.onnx")
+    onnx_model.save(path)
+    schema = os.path.join(os.path.dirname(__file__), "..", "tools")
+    with open(path, "rb") as f:
+        proc = subprocess.run(
+            ["protoc", f"-I{schema}", "--decode=onnx.ModelProto",
+             "onnx_schema.proto"],
+            stdin=f, capture_output=True, text=True, timeout=120,
+        )
+    assert proc.returncode == 0, proc.stderr
+    text = proc.stdout
+    assert 'op_type: "Conv"' in text
+    assert 'op_type: "Resize"' in text
+    assert "ir_version" in text
+    assert "opset_import" in text
+    # initializers carry raw_data payloads
+    assert "raw_data" in text
+
+
+def test_torch_runner_independent_parity(seg_export, tmp_path):
+    """INDEPENDENT numeric validation: torch CPU kernels execute the
+    serialized graph (export/onnx_torch_runner.py) and must match the JAX
+    model within the reference fp32 gate — torch's conv/resize/hardsigmoid
+    semantics come from an unrelated codebase, so a shared
+    exporter/mini-runtime bug would be caught here."""
+    torch = pytest.importorskip("torch")
+    from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+    model, variables, onnx_model, (h, w) = seg_export
+    path = str(tmp_path / "seg.onnx")
+    onnx_model.save(path)
+    loaded = op.Model.load(path)
+
+    rng = np.random.default_rng(7)
+    x_nchw = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    out = onnx_torch_runner.run_model(loaded, {"input": x_nchw})["output"]
+
+    flax_out = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    ref = np.transpose(np.asarray(flax_out), (0, 3, 1, 2))
+    max_diff = np.abs(out - ref).max()
+    assert max_diff < 1e-4, f"torch-runner parity failed: {max_diff}"
+
+
+def test_torch_runner_pose_parity(pose_export, tmp_path):
+    torch = pytest.importorskip("torch")
+    from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+    model, variables, onnx_model, (h, w) = pose_export
+    path = str(tmp_path / "pose.onnx")
+    onnx_model.save(path)
+    loaded = op.Model.load(path)
+    rng = np.random.default_rng(8)
+    x_nchw = rng.random((1, 3, h, w)).astype(np.float32)
+    out = onnx_torch_runner.run_model(loaded, {"input": x_nchw})["heatmaps"]
+    ref = model.apply(
+        variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False
+    )
+    ref = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+    max_diff = np.abs(out - ref).max()
+    assert max_diff < 1e-4, f"torch-runner pose parity failed: {max_diff}"

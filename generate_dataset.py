@@ -28,7 +28,21 @@ def _generate(args) -> None:
     import jax
     import numpy as np
 
-    from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        load_asset_bank,
+        synthetic_batch,
+    )
+
+    assets = None
+    if args.real_assets:
+        assets = load_asset_bank(
+            args.texture_dir or os.path.join(args.output, "references", "train"),
+            args.background_dir or os.path.join(args.output, "backgrounds"),
+            bg_hw=(args.height, args.width),
+        )
+        print(f"real-asset bank: {assets.textures.shape[0]} textures, "
+              f"{assets.backgrounds.shape[0]} backgrounds "
+              "(dataset_generator/generate_synthetic.py:189-249 realism path)")
 
     counts = {"train": args.train, "test": args.test}
     annotations = {}
@@ -44,7 +58,8 @@ def _generate(args) -> None:
         for start in range(0, total, batch):
             n = min(batch, total - start)
             s = synthetic_batch(
-                jax.random.key(seed_base + start), batch, args.height, args.width
+                jax.random.key(seed_base + start), batch, args.height,
+                args.width, 0.09, assets, args.real_prob,
             )
             imgs = np.asarray(
                 (s.image * 255.0 + 0.5).astype("uint8")
@@ -82,6 +97,13 @@ def main() -> None:
                              "instead of using the renderer's exact corners")
     parser.add_argument("--yolo-output", default=None,
                         help="also materialize the YOLO-pose layout here")
+    parser.add_argument("--real-assets", action="store_true",
+                        help="composite downloaded card scans / background "
+                             "photos into the renders (realism parity with "
+                             "the reference's Blender pipeline)")
+    parser.add_argument("--texture-dir", default=None)
+    parser.add_argument("--background-dir", default=None)
+    parser.add_argument("--real-prob", type=float, default=0.7)
     parser.add_argument("--download-references", action="store_true")
     parser.add_argument("--download-backgrounds", action="store_true")
     parser.add_argument("--watchdog", action="store_true",

@@ -115,6 +115,11 @@ class DataConfig:
     num_host_workers: int = 4
     prefetch: int = 2
     augment: AugmentConfig = field(default_factory=AugmentConfig)
+    # real-asset compositing (synthetic source): directories of downloaded
+    # card scans / background photos; empty = fully procedural
+    texture_dir: str = ""
+    background_dir: str = ""
+    real_asset_prob: float = 0.7
 
 
 @dataclass(frozen=True)

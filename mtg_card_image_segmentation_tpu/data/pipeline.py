@@ -45,6 +45,8 @@ class SyntheticPipeline:
         mesh=None,
         augment: Optional[AugmentConfig] = AugmentConfig(),
         seed: int = 0,
+        assets=None,
+        real_prob: float = 0.7,
     ) -> None:
         self.batch_size = batch_size
         self.height = height
@@ -60,10 +62,14 @@ class SyntheticPipeline:
                 # fused render+augment: geometry composes into the render
                 # coordinates (zero gathers — see synthetic_augmented_sample)
                 sample = synthetic_augmented_batch(
-                    key, batch_size, height, width, NEGATIVE_PROB, aug
+                    key, batch_size, height, width, NEGATIVE_PROB, aug,
+                    assets=assets, real_prob=real_prob,
                 )
             else:
-                sample = synthetic_batch(key, batch_size, height, width)
+                sample = synthetic_batch(
+                    key, batch_size, height, width, NEGATIVE_PROB,
+                    assets, real_prob,
+                )
             return normalize_only(sample.image), sample.mask
 
         self._make = jax.jit(make)
@@ -102,6 +108,8 @@ class PoseSyntheticPipeline:
         mesh=None,
         augment: Optional[AugmentConfig] = None,
         seed: int = 0,
+        assets=None,
+        real_prob: float = 0.7,
     ) -> None:
         from mtg_card_image_segmentation_tpu.ops.heatmap import (
             gaussian_heatmaps_batch,
@@ -120,9 +128,12 @@ class PoseSyntheticPipeline:
                 sample = synthetic_augmented_batch(
                     key, batch_size, height, width, 0.0, aug,
                     with_displacement=False, flip_idx=flip_idx,
+                    assets=assets, real_prob=real_prob,
                 )
             else:
-                sample = synthetic_batch(key, batch_size, height, width, 0.0)
+                sample = synthetic_batch(
+                    key, batch_size, height, width, 0.0, assets, real_prob
+                )
             images, corners = sample.image, sample.corners
             hm_coords = pixels_to_heatmap_coords(
                 corners, (height, width), (heatmap_height, heatmap_width)

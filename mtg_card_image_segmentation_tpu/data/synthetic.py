@@ -51,6 +51,64 @@ class SyntheticSample(NamedTuple):
     has_card: jax.Array  # () bool
 
 
+class AssetBank(NamedTuple):
+    """Device-resident real-asset library for the renderer: actual card
+    scans as textures + real photos as backgrounds (the reference's realism
+    path — Scryfall scans, dataset_generator/generate_synthetic.py:189-249,
+    and Lorem Picsum negatives, 04_random_background_downloader.py). Loaded
+    once on host (load_asset_bank), then every sample composites them
+    on-device through the same homography/SDF machinery as the procedural
+    path."""
+
+    textures: jax.Array  # (Nt, Th, Tw, 3) float32 [0,1], card aspect H:W=88:63
+    backgrounds: jax.Array  # (Nb, Bh, Bw, 3) float32 [0,1]
+
+
+def load_asset_bank(
+    texture_dir: str,
+    background_dir: str | None = None,
+    tex_hw: tuple[int, int] = (352, 256),
+    bg_hw: tuple[int, int] = (480, 640),
+    max_assets: int = 512,
+) -> AssetBank:
+    """Host-decode card scans / background photos into a device bank.
+
+    Reads every jpg/png under each directory (recursively), resizes textures
+    to the card aspect (88:63) and backgrounds to ``bg_hw``. Either
+    directory may be empty/None — the renderer falls back to procedural for
+    the missing kind.
+    """
+    import os
+
+    import cv2
+    import numpy as np
+
+    def load_dir(d, hw):
+        if not d or not os.path.isdir(d):
+            return np.zeros((0, hw[0], hw[1], 3), np.float32)
+        paths = []
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                    paths.append(os.path.join(root, f))
+        out = []
+        for p in paths[:max_assets]:
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            img = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_AREA)
+            out.append(img.astype(np.float32) / 255.0)
+        if not out:
+            return np.zeros((0, hw[0], hw[1], 3), np.float32)
+        return np.stack(out)
+
+    return AssetBank(
+        textures=jnp.asarray(load_dir(texture_dir, tex_hw)),
+        backgrounds=jnp.asarray(load_dir(background_dir, bg_hw)),
+    )
+
+
 def _rounded_rect_sdf(u: jax.Array, v: jax.Array) -> jax.Array:
     """Signed distance (mm) to the rounded card rectangle, card space uv in
     [0,1]^2 -> mm coords."""
@@ -136,16 +194,18 @@ def _background(key: jax.Array, h: int, w: int) -> jax.Array:
 def synthetic_sample(
     key: jax.Array, h: int = 320, w: int = 240,
     negative_prob: float = NEGATIVE_PROB,
+    assets: AssetBank | None = None, real_prob: float = 0.7,
 ) -> SyntheticSample:
     """Render one (h, w) synthetic scene. ``negative_prob=0`` guarantees a
     card (the pose pipelines train only on card images, matching the
-    reference's corner_annotations contract)."""
-    return _render_scene(key, h, w, negative_prob, None, None)
+    reference's corner_annotations contract). With ``assets``, real card
+    scans / photo backgrounds composite in with probability ``real_prob``."""
+    return _render_scene(key, h, w, negative_prob, None, None, assets, real_prob)
 
 
 def _render_scene(
     key: jax.Array, h: int, w: int, negative_prob: float,
-    src_y, src_x,
+    src_y, src_x, assets: AssetBank | None = None, real_prob: float = 0.7,
 ) -> SyntheticSample:
     """Core renderer. When ``src_y/src_x`` are given (augmentation-composed
     source-coordinate maps), the whole scene is evaluated *at those source
@@ -154,13 +214,29 @@ def _render_scene(
     closed-form function of coordinates, so augmentation geometry composes
     into the render for free. The (4,2) ``corners`` returned are in *render*
     space; callers composing a forward transform map them separately."""
-    (k_bg, k_tex, k_scale, k_rot, k_pos, k_persp, k_light, k_neg, k_exp) = (
-        jax.random.split(key, 9)
-    )
+    (k_bg, k_tex, k_scale, k_rot, k_pos, k_persp, k_light, k_neg, k_exp,
+     k_asset, k_real) = jax.random.split(key, 11)
 
     if src_y is None:
         src_y, src_x = W.identity_grid(h, w)
     background = _background_at(k_bg, src_y, src_x, h, w)
+
+    if assets is not None and assets.backgrounds.shape[0] > 0:
+        # real photo background: sample the chosen bank image at the (possibly
+        # augmentation-composed) source coordinates — the gather is the price
+        # of real pixels; procedural layers stay closed-form
+        nb = assets.backgrounds.shape[0]
+        bh, bw = assets.backgrounds.shape[1], assets.backgrounds.shape[2]
+        b_idx = jax.random.randint(jax.random.fold_in(k_asset, 0), (), 0, nb)
+        bg_real = W.warp_bilinear(
+            assets.backgrounds[b_idx],
+            src_y * ((bh - 1.0) / max(h - 1, 1)),
+            src_x * ((bw - 1.0) / max(w - 1, 1)),
+        )
+        use_real_bg = jax.random.bernoulli(
+            jax.random.fold_in(k_real, 0), real_prob
+        )
+        background = jnp.where(use_real_bg, bg_real, background)
 
     # --- card placement: rect corners -> rotate -> translate -> perspective jitter
     scale = jax.random.uniform(k_scale, minval=0.35, maxval=0.95)
@@ -205,6 +281,22 @@ def _render_scene(
     alpha = alpha * has_card.astype(jnp.float32)
 
     card_rgb = _card_texture(k_tex, u, v)
+    if assets is not None and assets.textures.shape[0] > 0:
+        # real card scan as texture: sample at card-space uv through the same
+        # homography (generate_synthetic.py:189-249 uses the actual Scryfall
+        # scan on the card mesh)
+        nt = assets.textures.shape[0]
+        th, tw = assets.textures.shape[1], assets.textures.shape[2]
+        t_idx = jax.random.randint(jax.random.fold_in(k_asset, 1), (), 0, nt)
+        tex_real = W.warp_bilinear(
+            assets.textures[t_idx],
+            jnp.clip(v, 0.0, 1.0) * (th - 1.0),
+            jnp.clip(u, 0.0, 1.0) * (tw - 1.0),
+        )
+        use_real_tex = jax.random.bernoulli(
+            jax.random.fold_in(k_real, 1), real_prob
+        )
+        card_rgb = jnp.where(use_real_tex, tex_real, card_rgb)
     img = background * (1.0 - alpha[..., None]) + card_rgb * alpha[..., None]
 
     # illumination: low-frequency light field + vignette + exposure
@@ -225,15 +317,19 @@ def _render_scene(
 def synthetic_batch(
     key: jax.Array, batch: int, h: int = 320, w: int = 240,
     negative_prob: float = NEGATIVE_PROB,
+    assets: AssetBank | None = None, real_prob: float = 0.7,
 ) -> SyntheticSample:
     keys = jax.random.split(key, batch)
-    return jax.vmap(lambda k: synthetic_sample(k, h, w, negative_prob))(keys)
+    return jax.vmap(
+        lambda k: synthetic_sample(k, h, w, negative_prob, assets, real_prob)
+    )(keys)
 
 
 def synthetic_augmented_sample(
     key: jax.Array, h: int, w: int, negative_prob: float, aug_cfg,
     with_displacement: bool = True,
     flip_idx=None,
+    assets: AssetBank | None = None, real_prob: float = 0.7,
 ) -> SyntheticSample:
     """Render one scene with the augmentation suite's geometry composed
     directly into the render coordinates — ZERO gathers.
@@ -267,7 +363,9 @@ def synthetic_augmented_sample(
         src_y = src_y + dy
         src_x = src_x + dx
 
-    sample = _render_scene(k_scene, h, w, negative_prob, src_y, src_x)
+    sample = _render_scene(
+        k_scene, h, w, negative_prob, src_y, src_x, assets, real_prob
+    )
 
     # zero-border: outside the source frame the warp reads nothing
     valid = (
@@ -290,10 +388,12 @@ def synthetic_augmented_sample(
 def synthetic_augmented_batch(
     key: jax.Array, batch: int, h: int, w: int, negative_prob: float,
     aug_cfg, with_displacement: bool = True, flip_idx=None,
+    assets: AssetBank | None = None, real_prob: float = 0.7,
 ) -> SyntheticSample:
     keys = jax.random.split(key, batch)
     return jax.vmap(
         lambda k: synthetic_augmented_sample(
-            k, h, w, negative_prob, aug_cfg, with_displacement, flip_idx
+            k, h, w, negative_prob, aug_cfg, with_displacement, flip_idx,
+            assets, real_prob,
         )
     )(keys)

@@ -227,3 +227,49 @@ def test_synthetic_pipeline(mesh8):
     assert masks.shape == (8, 64, 48)
     images2, _ = next(it)
     assert not np.allclose(np.asarray(images), np.asarray(images2))
+
+
+def test_real_asset_compositing(tmp_path):
+    """Real-asset bank: a solid-red card scan and solid-green background
+    photo composite through the homography/SDF path — card pixels come from
+    the texture, background pixels from the photo
+    (dataset_generator/generate_synthetic.py:189-249 realism parity)."""
+    import cv2
+
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        load_asset_bank,
+        synthetic_batch,
+    )
+
+    tex_dir = tmp_path / "tex"
+    bg_dir = tmp_path / "bg"
+    tex_dir.mkdir()
+    bg_dir.mkdir()
+    red = np.zeros((88, 63, 3), np.uint8)
+    red[..., 2] = 255  # BGR red
+    cv2.imwrite(str(tex_dir / "card.png"), red)
+    green = np.zeros((60, 80, 3), np.uint8)
+    green[..., 1] = 255
+    cv2.imwrite(str(bg_dir / "photo.jpg"), green)
+
+    bank = load_asset_bank(str(tex_dir), str(bg_dir), bg_hw=(96, 128))
+    assert bank.textures.shape[0] == 1
+    assert bank.backgrounds.shape[0] == 1
+
+    s = synthetic_batch(jax.random.key(0), 4, 96, 128, 0.0, bank, 1.0)
+    img = np.asarray(s.image)
+    mask = np.asarray(s.mask).astype(bool)
+    for i in range(4):
+        inside = img[i][mask[i]]
+        outside = img[i][~mask[i]]
+        assert inside.shape[0] > 50
+        # red-dominant card, green-dominant background (lighting scales all
+        # channels equally so channel dominance survives)
+        assert inside[:, 0].mean() > 3 * (inside[:, 1].mean() + 1e-3)
+        assert outside[:, 1].mean() > 3 * (outside[:, 0].mean() + 1e-3)
+
+    # real_prob=0 must reproduce the fully procedural render
+    from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch as sb
+    a = sb(jax.random.key(1), 2, 96, 128, 0.0, bank, 0.0)
+    b = sb(jax.random.key(1), 2, 96, 128, 0.0)
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-6)

@@ -49,19 +49,36 @@ def main() -> None:
 
     if args.source == "synthetic":
         from mtg_card_image_segmentation_tpu.data.pipeline import SyntheticPipeline
-        from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
+        from mtg_card_image_segmentation_tpu.data.synthetic import (
+            load_asset_bank,
+            synthetic_batch,
+        )
         from mtg_card_image_segmentation_tpu.data.preprocess import normalize_only
+
+        assets = None
+        if cfg.data.texture_dir or cfg.data.background_dir:
+            assets = load_asset_bank(
+                cfg.data.texture_dir or None, cfg.data.background_dir or None,
+                bg_hw=(h, w),
+            )
+            print(f"asset bank: {assets.textures.shape[0]} textures, "
+                  f"{assets.backgrounds.shape[0]} backgrounds")
 
         train_iter = iter(
             SyntheticPipeline(
                 batch, h, w, mesh=mesh, augment=cfg.data.augment,
                 seed=cfg.train.seed,
+                assets=assets, real_prob=cfg.data.real_asset_prob,
             )
         )
 
         @jax.jit
         def _val_batch(key):
-            b = synthetic_batch(key, batch, h, w)
+            # validation stream mixes real-texture samples too when a bank is
+            # configured, so eval covers the real-asset domain
+            b = synthetic_batch(
+                key, batch, h, w, 0.09, assets, cfg.data.real_asset_prob
+            )
             return normalize_only(b.image), b.mask
 
         def make_val_batches(n: int = 8, seed: int = 10_000):

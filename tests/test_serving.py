@@ -7,6 +7,8 @@ reference-shaped modules. Full uint8->mask predictor parity additionally
 runs on real TPU hardware (bench.py path).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -80,3 +82,31 @@ def test_fused_backbone_matches_module_cpu():
     np.testing.assert_allclose(
         np.asarray(got["high"]), np.asarray(want["high"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_demo_build_pipeline(tmp_path):
+    """tools/build_demo.py mirrors the reference's rollup pipeline
+    (rollup.config.js:1-66): IIFE bundle, minified + gzip, index rewrite."""
+    import gzip
+    import subprocess
+    import sys
+
+    out = tmp_path / "dist"
+    proc = subprocess.run(
+        [sys.executable, "tools/build_demo.py", "--out", str(out),
+         "--models", str(tmp_path / "nope")],
+        capture_output=True, text=True, timeout=60,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr
+    bundle = (out / "bundle.min.js").read_text()
+    # one IIFE, no module syntax left
+    assert bundle.startswith("(() => {")
+    assert "\nimport " not in bundle and "\nexport " not in bundle
+    # all four source classes present
+    for sym in ("CameraManager", "ModelInference", "ImageUtils", "requestAnimationFrame"):
+        assert sym in bundle, sym
+    gz = gzip.decompress((out / "bundle.min.js.gz").read_bytes()).decode()
+    assert gz == bundle
+    html = (out / "index.html").read_text()
+    assert "bundle.min.js" in html and "src/app.js" not in html

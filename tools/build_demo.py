@@ -79,8 +79,10 @@ def main() -> None:
     bundle_path = os.path.join(out, "bundle.min.js")
     with open(bundle_path, "w") as f:
         f.write(minified)
-    with gzip.open(bundle_path + ".gz", "wb", compresslevel=9) as f:
-        f.write(minified.encode())
+    # mtime=0 keeps the .gz byte-identical across rebuilds (no git churn)
+    with open(bundle_path + ".gz", "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=9, mtime=0) as f:
+            f.write(minified.encode())
 
     with open(os.path.join(demo, "index.html")) as f:
         html = f.read()

@@ -29,13 +29,16 @@ import numpy as np
 
 def order_corners(pts: np.ndarray) -> np.ndarray:
     """(4, 2) xy -> clockwise from top-left (preprocess_masks.py:196-223
-    contract): TL = min(x+y), BR = max(x+y), TR = min(y-x), BL = max(y-x)."""
+    contract). Centroid-angle sort (ascending atan2 = clockwise with y
+    down) rolled so TL = min(x+y) comes first — always a true permutation,
+    unlike the classic sum/diff rule which picks the same point twice on
+    quads rotated near 45°. Must stay in lockstep with
+    data/synthetic.py canonicalize_corners (the jax twin)."""
     pts = np.asarray(pts, np.float32).reshape(4, 2)
-    s = pts.sum(axis=1)
-    d = pts[:, 1] - pts[:, 0]
-    return np.stack(
-        [pts[np.argmin(s)], pts[np.argmin(d)], pts[np.argmax(s)], pts[np.argmax(d)]]
-    )
+    c = pts.mean(axis=0)
+    pts = pts[np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))]
+    start = int(np.argmin(pts.sum(axis=1)))
+    return np.roll(pts, -start, axis=0)
 
 
 def find_card_corners(

@@ -91,7 +91,7 @@ class PoseSyntheticPipeline:
     normalization, inference_test.py:167-169), targets are per-corner
     Gaussian heatmaps at (hm_h, hm_w) with sigma=2
     (train-pose-estimation_custom/dataset.py:317-331), corners in canonical
-    TL,TR,BR,BL order with flip_idx reordering under horizontal flips.
+    image-space TL,TR,BR,BL order (synthetic.canonicalize_corners).
     Negatives are disabled (corner annotations only exist for card images).
     """
 

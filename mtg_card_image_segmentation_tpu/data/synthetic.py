@@ -21,10 +21,10 @@ shards over the mesh with the training step and never touches the host.
 ~9% of samples are card-free negatives, mirroring the reference's background
 negatives (800/8800, dataset_generator/04_random_background_downloader.py).
 
-Corners are emitted in card-frame order TL, TR, BR, BL — the order the
-reference's corner_annotations.json contract uses
-(train/preprocess_masks.py:196-223) and the pose pipelines consume with
-flip_idx [1, 0, 3, 2] (*_yolo12n/model.py:368).
+Corners are emitted in image-space clockwise-from-top-left order
+TL, TR, BR, BL (canonicalize_corners) — the order the reference's
+corner_annotations.json contract uses (train/preprocess_masks.py:196-223,
+mask-derived, hence image-space).
 """
 
 from __future__ import annotations
@@ -309,8 +309,29 @@ def _render_scene(
     img = jnp.clip(img * light[..., None] * exposure, 0.0, 1.0)
 
     mask = (alpha > 0.5).astype(jnp.int32)
+    corners = canonicalize_corners(corners)
     corners_out = jnp.where(has_card, corners, -jnp.ones_like(corners))
     return SyntheticSample(img, mask, corners_out, has_card)
+
+
+def canonicalize_corners(corners: jax.Array) -> jax.Array:
+    """Reorder a (4, 2) xy quad to image-space clockwise-from-top-left
+    (TL, TR, BR, BL) — the reference's corner-annotation contract
+    (train/preprocess_masks.py:196-223 sorts mask-derived corners clockwise
+    starting at the top-left *in the image*).
+
+    The renderer places corners in card-frame order; for a card rotated past
+    ~90° that disagrees with what a mask-derived annotation would say, and
+    since card orientation is not observable from the mask, labeling in card
+    frame makes the keypoint task ill-posed for upside-down cards (measured:
+    ~9% gross corner errors on clean val data before this canonicalization).
+    Ascending atan2 around the centroid is clockwise when y points down;
+    the cycle is rolled so min(x+y) (top-left) comes first."""
+    c = jnp.mean(corners, axis=0)
+    ang = jnp.arctan2(corners[:, 1] - c[1], corners[:, 0] - c[0])
+    pts = corners[jnp.argsort(ang)]
+    start = jnp.argmin(jnp.sum(pts, axis=1))
+    return pts[(start + jnp.arange(4)) % 4]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -355,7 +376,7 @@ def synthetic_augmented_sample(
 
     k_scene, k_geo, k_disp, k_color = jax.random.split(key, 4)
 
-    m_fwd, did_flip = _geometry_matrix(k_geo, h, w, aug_cfg)
+    m_fwd, _did_flip = _geometry_matrix(k_geo, h, w, aug_cfg)
     m_inv = W.invert_affine(m_fwd)
     src_y, src_x = W.apply_homography_grid(m_inv, h, w)
     if with_displacement:
@@ -374,11 +395,13 @@ def synthetic_augmented_sample(
     image = jnp.where(valid[..., None], sample.image, 0.0)
     mask = jnp.where(valid, sample.mask, 0)
 
-    # corners move through the forward transform (exact, not resampled)
+    # corners move through the forward transform (exact, not resampled);
+    # re-canonicalize afterwards — a flip reverses the winding and a
+    # rotation can move a different corner into the top-left position, and
+    # labels are image-space (flip_idx reordering alone only covers the
+    # axis-aligned case, *_yolo12n/model.py:344-374 flip_idx: [1,0,3,2])
     corners = W.transform_points(m_fwd, sample.corners)
-    if flip_idx is not None:
-        reordered = corners[jnp.asarray(flip_idx)]
-        corners = jnp.where(did_flip, reordered, corners)
+    corners = canonicalize_corners(corners)
     corners = jnp.where(sample.has_card, corners, -jnp.ones_like(corners))
 
     image = _color_ops(k_color, image, aug_cfg)

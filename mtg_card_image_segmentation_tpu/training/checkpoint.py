@@ -42,16 +42,35 @@ def save_checkpoint(
     best_metric: Optional[float] = None,
     history: Optional[dict] = None,
     config: Optional[dict] = None,
+    retries: int = 1,
 ) -> str:
     """Write checkpoint ``name`` (e.g. 'best_model', 'checkpoint_epoch_10',
-    'final_model') under ``checkpoint_dir``."""
+    'final_model') under ``checkpoint_dir``.
+
+    Robust against leftovers of an interrupted save: both the final dir and
+    any stale ``<name>.orbax-checkpoint-tmp*`` dirs are removed first (a
+    stale tmp dir from a killed process makes orbax's atomic-rename step
+    fail with tensorstore NOT_FOUND errors), and the save is retried once
+    from a clean slate on failure."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
-    if os.path.exists(path):
-        shutil.rmtree(path)
     os.makedirs(checkpoint_dir, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _state_tree(state))
-    ckptr.wait_until_finished()
+    last_err: Optional[BaseException] = None
+    for _ in range(retries + 1):
+        for entry in os.listdir(checkpoint_dir):
+            if entry == name or (
+                entry.startswith(name + ".") and ".orbax-checkpoint-tmp" in entry
+            ):
+                shutil.rmtree(os.path.join(checkpoint_dir, entry), ignore_errors=True)
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, _state_tree(state))
+            ckptr.wait_until_finished()
+            last_err = None
+            break
+        except Exception as e:  # clean up and retry once
+            last_err = e
+    if last_err is not None:
+        raise last_err
     meta = {
         "epoch": int(epoch),
         "best_metric": None if best_metric is None else float(best_metric),
@@ -61,6 +80,19 @@ def save_checkpoint(
     with open(os.path.join(checkpoint_dir, name + ".meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return path
+
+
+def try_save_checkpoint(log, *args, **kwargs) -> Optional[str]:
+    """Non-fatal save for mid-training best/periodic checkpoints: an
+    hours-long run must survive a transient filesystem/orbax failure (the
+    reference's trainers likewise guard the loop with try/except,
+    train-pose-estimation_custom/train.py:461-466). Returns the path or
+    None on failure (logged)."""
+    try:
+        return save_checkpoint(*args, **kwargs)
+    except Exception:
+        log.exception("checkpoint save failed (continuing training)")
+        return None
 
 
 def load_checkpoint(

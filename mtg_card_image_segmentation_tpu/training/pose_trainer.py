@@ -177,14 +177,14 @@ class PoseTrainer:
 
             if self.best_metric is None or val["loss"] < self.best_metric:
                 self.best_metric = val["loss"]
-                ckpt_lib.save_checkpoint(
-                    ckpt_dir, "best_model", self.state, epoch,
+                ckpt_lib.try_save_checkpoint(
+                    self.log, ckpt_dir, "best_model", self.state, epoch,
                     self.best_metric, self.history, cfg.to_dict(),
                 )
                 self.log.info(f"new best val_loss={val['loss']:.6f} -> best_model")
             if (epoch + 1) % cfg.train.save_every_epochs == 0:
-                ckpt_lib.save_checkpoint(
-                    ckpt_dir, f"checkpoint_epoch_{epoch + 1}", self.state,
+                ckpt_lib.try_save_checkpoint(
+                    self.log, ckpt_dir, f"checkpoint_epoch_{epoch + 1}", self.state,
                     epoch, self.best_metric, self.history, cfg.to_dict(),
                 )
             if es(val["loss"], self.state):

@@ -204,8 +204,8 @@ class SegTrainer:
                 )
                 if improved:
                     self.best_metric = metric
-                    ckpt_lib.save_checkpoint(
-                        ckpt_dir, "best_model", self.state, epoch,
+                    ckpt_lib.try_save_checkpoint(
+                        self.log, ckpt_dir, "best_model", self.state, epoch,
                         self.best_metric, self.history, cfg.to_dict(),
                     )
                     self.log.info(f"new best {metric_key}={metric:.4f} -> best_model")
@@ -218,8 +218,8 @@ class SegTrainer:
                     break
 
             if (epoch + 1) % cfg.train.save_every_epochs == 0:
-                ckpt_lib.save_checkpoint(
-                    ckpt_dir, f"checkpoint_epoch_{epoch + 1}", self.state,
+                ckpt_lib.try_save_checkpoint(
+                    self.log, ckpt_dir, f"checkpoint_epoch_{epoch + 1}", self.state,
                     epoch, self.best_metric, self.history, cfg.to_dict(),
                 )
             self.log.info(f"epoch {epoch + 1} done in {time.time() - t_epoch:.1f}s")

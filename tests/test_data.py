@@ -273,3 +273,53 @@ def test_real_asset_compositing(tmp_path):
     a = sb(jax.random.key(1), 2, 96, 128, 0.0, bank, 0.0)
     b = sb(jax.random.key(1), 2, 96, 128, 0.0)
     np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image), atol=1e-6)
+
+
+def test_canonicalize_corners_image_space():
+    """Corner labels are image-space clockwise-from-top-left regardless of
+    card orientation (preprocess_masks.py:196-223 contract) — an upside-down
+    card must get the same labeling a mask-derived annotation would."""
+    from mtg_card_image_segmentation_tpu.data.corners import order_corners
+    from mtg_card_image_segmentation_tpu.data.synthetic import canonicalize_corners
+
+    rng = np.random.default_rng(0)
+    fn = jax.jit(canonicalize_corners)
+    for _ in range(50):
+        # random gently-perspective card quad at a random orientation
+        ang = rng.uniform(0, 2 * np.pi)
+        w_, h_ = rng.uniform(40, 80), rng.uniform(60, 110)
+        base = np.array(
+            [[-w_ / 2, -h_ / 2], [w_ / 2, -h_ / 2], [w_ / 2, h_ / 2], [-w_ / 2, h_ / 2]]
+        )
+        rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        quad = base @ rot.T + rng.uniform(100, 150, 2) + rng.uniform(-4, 4, (4, 2))
+        perm = rng.permutation(4)
+        got = np.asarray(fn(jnp.asarray(quad[perm], jnp.float32)))
+        want = order_corners(quad)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        # invariants that always hold: starts at min(x+y), clockwise winding
+        assert np.argmin(got.sum(axis=1)) == 0
+        x, y = got[:, 0], got[:, 1]
+        shoelace = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        assert shoelace > 0  # y-down coords: positive = clockwise on screen
+
+
+def test_augmented_corners_canonical(mesh8):
+    """After the fused render+augment path (flips included) the corner order
+    is still image-space canonical."""
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        synthetic_augmented_batch,
+    )
+
+    cfg = AugmentConfig(enabled=True, hflip_prob=1.0)
+    s = synthetic_augmented_batch(
+        jax.random.key(5), 8, 160, 120, 0.0, cfg, with_displacement=False
+    )
+    corners = np.asarray(s.corners)
+    for i in range(8):
+        if not bool(s.has_card[i]):
+            continue
+        got = corners[i]
+        assert np.argmin(got.sum(axis=1)) == 0
+        x, y = got[:, 0], got[:, 1]
+        assert np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) > 0

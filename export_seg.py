@@ -98,6 +98,12 @@ def main() -> None:
     parser.add_argument("--output-dir", default="exported_models")
     parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     parser.add_argument("--skip-verify", action="store_true")
+    parser.add_argument(
+        "--slim", action="store_true",
+        help="physically remove dead (expansion-pruned) channels before "
+        "export — smaller AND faster artifact, exact-parity "
+        "(train/prune.py:102-113 mask removal, made real)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -131,6 +137,40 @@ def main() -> None:
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
     state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+
+    slim_overrides = None
+    if args.slim:
+        from mtg_card_image_segmentation_tpu.compression.slim import (
+            dead_expansion_channels,
+            param_count,
+            slim_seg_state,
+        )
+
+        dead = dead_expansion_channels(state.params)
+        n_dead = sum(v.size for v in dead.values())
+        if n_dead == 0:
+            print("--slim: no dead expansion channels found (run "
+                  "prune_seg.py --method expansion first); exporting dense")
+        else:
+            full_n = param_count(state.params)
+            slim_params, slim_stats, slim_overrides = slim_seg_state(
+                state.params, state.batch_stats
+            )
+            model = create_model(
+                "lraspp_mobilenet_v3_large", compute_dtype="float32",
+                expanded_overrides=slim_overrides,
+            )
+            state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, slim_params),
+                batch_stats=jax.tree.map(jnp.asarray, slim_stats),
+            )
+            print(
+                f"--slim: removed {n_dead} expansion channels across "
+                f"{len(dead)} blocks; params {full_n:,} -> "
+                f"{param_count(slim_params):,} "
+                f"({param_count(slim_params) / full_n:.1%})"
+            )
 
     folded = fold_batch_norm(state.params, state.batch_stats)
     onnx_model = export_seg_model(
@@ -214,6 +254,7 @@ def main() -> None:
         "output": {"name": "output", "shape": [1, cfg.model.num_classes, h, w],
                    "classes": ["background", "card"]},
         "parameters": count_parameters(state.params),
+        "slimmed_expansions": list(slim_overrides) if slim_overrides else None,
         "opset": cfg.export.opset,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),

@@ -181,13 +181,16 @@ def export_seg_model(
         eff_stride = 1 if dilation > 1 else stride
         residual_src = x
         y = x
-        if exp != in_ch:
+        # widths come from the params, not the arch table — a slimmed
+        # (physically channel-pruned) checkpoint has narrower expansions
+        if "expand" in blk:
             y = g.conv(y, _np(blk, "expand", "conv", "kernel"),
                        _np(blk, "expand", "conv", "bias"), f"b{i}_expand")
             y = g.act(y, act, f"b{i}_expand")
+        exp_eff = int(np.asarray(blk["depthwise"]["conv"]["kernel"]).shape[-1])
         y = g.conv(y, _np(blk, "depthwise", "conv", "kernel"),
                    _np(blk, "depthwise", "conv", "bias"), f"b{i}_dw",
-                   stride=eff_stride, dilation=dilation, groups=exp)
+                   stride=eff_stride, dilation=dilation, groups=exp_eff)
         y = g.act(y, act, f"b{i}_dw")
         if se:
             s = g.global_avg_pool(y, f"b{i}_se_gap")

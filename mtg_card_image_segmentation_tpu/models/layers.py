@@ -158,6 +158,10 @@ class InvertedResidual(nn.Module):
     act: str = "relu"
     bn_momentum: float = 0.99
     fold_bn: bool = False
+    # explicit SE bottleneck width — set by slimmed (channel-pruned) models,
+    # whose reduced ``expanded`` must not shrink the SE squeeze dim (it was
+    # sized from the original expansion)
+    se_features: Optional[int] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -181,7 +185,7 @@ class InvertedResidual(nn.Module):
         )(y, train)
         if self.use_se:
             y = SqueezeExcite(
-                make_divisible(self.expanded // 4, 8),
+                self.se_features or make_divisible(self.expanded // 4, 8),
                 dtype=self.dtype, param_dtype=self.param_dtype, name="se",
             )(y)
         y = ConvBNAct(

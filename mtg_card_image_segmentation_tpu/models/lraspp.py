@@ -83,6 +83,7 @@ class CardSegmentationModel(nn.Module):
     inter_channels: int = 128
     bn_momentum: float = 0.99
     fold_bn: bool = False
+    expanded_overrides: Any = None  # see MobileNetV3Backbone
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -91,6 +92,7 @@ class CardSegmentationModel(nn.Module):
         in_h, in_w = x.shape[1], x.shape[2]
         taps = MobileNetV3Backbone(
             dilated=True, bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
+            expanded_overrides=self.expanded_overrides,
             dtype=self.dtype, param_dtype=self.param_dtype,
             name="backbone",
         )(x, train)

@@ -53,11 +53,17 @@ class MobileNetV3Backbone(nn.Module):
     dilated: bool = True
     bn_momentum: float = 0.99
     fold_bn: bool = False
+    # per-block expansion widths for slimmed (physically channel-pruned)
+    # models; None keeps the table value. SE squeeze dims stay sized from the
+    # original table expansion so slim checkpoints slice, never reshape.
+    expanded_overrides: Any = None  # Optional[Tuple[Optional[int], ...]]
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        from mtg_card_image_segmentation_tpu.models.layers import make_divisible
+
         taps: Dict[str, jax.Array] = {}
         x = ConvBNAct(
             16, 3, stride=2, act="hardswish", bn_momentum=self.bn_momentum,
@@ -68,9 +74,13 @@ class MobileNetV3Backbone(nn.Module):
             MOBILENET_V3_LARGE_ROWS
         ):
             dilation = 2 if (self.dilated and in_tail) else 1
+            eff_exp = exp
+            if self.expanded_overrides is not None:
+                eff_exp = self.expanded_overrides[i] or exp
             x = InvertedResidual(
-                expanded=exp, out_features=out, kernel=k, stride=stride,
+                expanded=eff_exp, out_features=out, kernel=k, stride=stride,
                 dilation=dilation, use_se=se, act=act,
+                se_features=make_divisible(exp // 4, 8) if se else None,
                 bn_momentum=self.bn_momentum, fold_bn=self.fold_bn,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block{i}",
             )(x, train)

@@ -38,7 +38,8 @@ def _dtype(name: str):
 @register("lraspp_mobilenet_v3_large")
 def _lraspp(num_classes: int = 2, inter_channels: int = 128,
             compute_dtype: str = "bfloat16", param_dtype: str = "float32",
-            bn_momentum: float = 0.99, fold_bn: bool = False):
+            bn_momentum: float = 0.99, fold_bn: bool = False,
+            expanded_overrides=None):
     from mtg_card_image_segmentation_tpu.models.lraspp import CardSegmentationModel
 
     return CardSegmentationModel(
@@ -46,6 +47,7 @@ def _lraspp(num_classes: int = 2, inter_channels: int = 128,
         inter_channels=inter_channels,
         bn_momentum=bn_momentum,
         fold_bn=fold_bn,
+        expanded_overrides=expanded_overrides,
         dtype=_dtype(compute_dtype),
         param_dtype=_dtype(param_dtype),
     )

@@ -18,7 +18,16 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--amount", type=float, default=0.3)
-    parser.add_argument("--structured", action="store_true")
+    parser.add_argument(
+        "--method", choices=["magnitude", "structured", "expansion"],
+        default=None,
+        help="magnitude: global unstructured L1 (train/prune.py:68-72); "
+        "structured: per-conv output channels (:76-93); expansion: "
+        "inverted-residual expansion channels zeroed *removably* — "
+        "export_seg.py --slim then physically deletes them",
+    )
+    parser.add_argument("--structured", action="store_true",
+                        help="alias for --method structured")
     parser.add_argument("--fine-tune-epochs", type=int, default=0)
     parser.add_argument("--fine-tune-steps", type=int, default=50, help="steps/epoch")
     parser.add_argument("--eval-batches", type=int, default=5)
@@ -84,12 +93,22 @@ def main() -> None:
     before = evaluate(state)
     print(f"before pruning: iou_card={before['iou_card']:.4f}")
 
-    prune_fn = structured_channel_prune if args.structured else magnitude_prune
-    pruned_params, masks = prune_fn(state.params, args.amount)
+    method = args.method or ("structured" if args.structured else "magnitude")
+    if method == "expansion":
+        from mtg_card_image_segmentation_tpu.compression.slim import (
+            expansion_channel_prune,
+        )
+
+        pruned_params, masks = expansion_channel_prune(state.params, args.amount)
+        pruned_params = jax.tree.map(jnp.asarray, pruned_params)
+        masks = jax.tree.map(jnp.asarray, masks)
+    else:
+        prune_fn = structured_channel_prune if method == "structured" else magnitude_prune
+        pruned_params, masks = prune_fn(state.params, args.amount)
     state = state.replace(params=pruned_params)
     sp = sparsity_report(state.params)
     print(
-        f"pruned ({'structured' if args.structured else 'global magnitude'}, "
+        f"pruned ({method}, "
         f"amount={args.amount}): global sparsity {sp['global_sparsity']:.1%}, "
         f"compression {sp['compression_ratio']:.2f}x"
     )
@@ -131,7 +150,7 @@ def main() -> None:
         config=cfg.to_dict(),
     )
     report = {
-        "method": "structured" if args.structured else "global_magnitude",
+        "method": method,
         "amount": args.amount,
         "before": before,
         "after": after,

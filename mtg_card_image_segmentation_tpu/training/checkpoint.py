@@ -108,8 +108,17 @@ def load_checkpoint(
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     if params_only:
         # template-free read (returns the raw tree; the writer's opt_state
-        # structure is irrelevant), then adopt only params/batch_stats/step
-        raw = ocp.PyTreeCheckpointer().restore(path)
+        # structure is irrelevant), then adopt only params/batch_stats/step.
+        # Restore as host numpy: no sharding metadata needed, so checkpoints
+        # written on one platform (axon TPU) load on any other (CPU tools).
+        ckptr = ocp.PyTreeCheckpointer()
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        raw = ckptr.restore(
+            path,
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+            ),
+        )
         state = state.replace(
             params=jax.tree.map(jnp_asarray, raw["params"]),
             batch_stats=jax.tree.map(jnp_asarray, raw["batch_stats"]),

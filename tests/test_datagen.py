@@ -188,3 +188,58 @@ def test_downloader_offline_errors():
     client.session = None
     with pytest.raises(RuntimeError, match="no HTTP session"):
         client.get("http://example.com")
+
+
+class _InpaintStubSession:
+    """Offline Workers AI stub: records the payload, returns PNG-ish bytes."""
+
+    def __init__(self):
+        self.payloads = []
+
+    def post(self, url, json=None, headers=None, timeout=None):
+        self.payloads.append({"url": url, "json": json, "headers": headers})
+        return _StubResponse(content=b"\x89PNG-generated")
+
+
+def test_cloudflare_inpainter_stub(tmp_path):
+    """Behavioral parity with dataset_generator/augmentation.py:60-125:
+    image+inverted-mask payload, randomized prompt, bearer auth."""
+    from PIL import Image
+
+    from mtg_card_image_segmentation_tpu.datagen.inpaint import (
+        CloudflareInpainter,
+        random_prompt,
+    )
+
+    img = np.zeros((8, 8, 3), np.uint8) + 200
+    mask = np.zeros((8, 8), np.uint8)
+    mask[2:6, 2:6] = 255
+    sess = _InpaintStubSession()
+    ip = CloudflareInpainter(account_id="acct", api_token="tok", session=sess)
+    out = ip.inpaint_background(img, mask, seed=7)
+    assert out.startswith(b"\x89PNG")
+    p = sess.payloads[0]
+    assert "acct" in p["url"] and "stable-diffusion" in p["url"]
+    assert p["headers"]["Authorization"] == "Bearer tok"
+    body = p["json"]
+    assert isinstance(body["image"], list) and isinstance(body["mask"], list)
+    assert body["seed"] == 7 and body["prompt"]
+    # mask was inverted: card interior (white in input) must decode to black
+    inv = np.asarray(Image.open(__import__("io").BytesIO(bytes(body["mask"]))))
+    assert inv[4, 4] == 0 and inv[0, 0] == 255
+    # three-part prompt structure
+    assert random_prompt().count(",") == 2
+
+
+def test_procedural_inpaint_preserves_card():
+    from mtg_card_image_segmentation_tpu.datagen.inpaint import procedural_inpaint
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (32, 24, 3), np.uint8)
+    mask = np.zeros((32, 24), np.uint8)
+    mask[8:20, 6:18] = 1
+    out = procedural_inpaint(img, mask, seed=1)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # card pixels untouched, background replaced (statistically)
+    np.testing.assert_array_equal(out[mask > 0], img[mask > 0])
+    assert (out[mask == 0] != img[mask == 0]).mean() > 0.9

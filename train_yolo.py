@@ -84,22 +84,29 @@ def main() -> None:
         boxes, scores, kpts = model.apply(variables, images, train=False)
         return top1_detection(boxes, scores, kpts)
 
+    start_epoch = 0
+    best = None
+    history: dict = {}
     if args.resume is not None:
         name = None if args.resume == "__latest__" else args.resume
         name = name or ckpt_lib.latest_checkpoint_name(cfg.train.checkpoint_dir)
         if name:
             state, meta = ckpt_lib.load_checkpoint(cfg.train.checkpoint_dir, name, state)
-            log.info(f"resumed from {name}")
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best = meta.get("best_metric")
+            history = meta.get("history", {}) or {}
+            log.info(f"resumed from {name} at epoch {start_epoch}")
 
-    key = jax.random.key(cfg.train.seed)
-    best = None
-    for epoch in range(cfg.train.num_epochs):
+    key = jax.random.key(cfg.train.seed + start_epoch)
+    for epoch in range(start_epoch, cfg.train.num_epochs):
         t0 = time.time()
+        epoch_losses = []
         for i in range(steps):
             key, sub = jax.random.split(key)
             images, corners = make_batch(sub)
             state, parts = step_fn(state, images, corners)
             if (i + 1) % cfg.train.log_every_steps == 0 or i + 1 == steps:
+                epoch_losses.append(float(parts["loss"]))
                 log.info(
                     f"epoch {epoch + 1}/{cfg.train.num_epochs} step {i + 1}/{steps} "
                     f"loss={float(parts['loss']):.4f} box={float(parts['box_loss']):.3f} "
@@ -116,6 +123,11 @@ def main() -> None:
             dists.append(d)
         d = np.concatenate(dists)
         m = {k: float(v) for k, v in metrics_lib.corner_metrics(jnp.asarray(d)).items()}
+        history.setdefault("train_loss", []).append(
+            float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        )
+        for k, v in m.items():
+            history.setdefault(f"val_{k}", []).append(v)
         log.info(
             f"epoch {epoch + 1} VAL mean_dist={m['mean_corner_distance']:.1f}px "
             f"acc5={m['corner_acc_5px']:.1f}% acc10={m['corner_acc_10px']:.1f}% "
@@ -123,14 +135,24 @@ def main() -> None:
         )
         if best is None or m["mean_corner_distance"] < best:
             best = m["mean_corner_distance"]
-            ckpt_lib.save_checkpoint(
-                cfg.train.checkpoint_dir, "best_model", state, epoch, best,
-                config=cfg.to_dict(),
+            ckpt_lib.try_save_checkpoint(
+                log, cfg.train.checkpoint_dir, "best_model", state, epoch, best,
+                history, cfg.to_dict(),
+            )
+        if (epoch + 1) % cfg.train.save_every_epochs == 0:
+            ckpt_lib.try_save_checkpoint(
+                log, cfg.train.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}",
+                state, epoch, best, history, cfg.to_dict(),
             )
     ckpt_lib.save_checkpoint(
         cfg.train.checkpoint_dir, "final_model", state,
-        cfg.train.num_epochs - 1, best, config=cfg.to_dict(),
+        cfg.train.num_epochs - 1, best, history, cfg.to_dict(),
     )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(cfg.train.checkpoint_dir, "history.json"), "w") as f:
+        _json.dump(history, f, indent=2)
     log.info(f"done; best mean corner distance {best:.1f}px")
 
 

@@ -72,7 +72,8 @@ def main() -> None:
     def batches():
         for i in range(args.batches):
             s = synthetic_batch(
-                jax.random.key(5_000_000 + i), args.batch_size, h, w, 0.0
+                jax.random.key(5_000_000 + i), args.batch_size, h, w, 0.0,
+                keep_in_frame=True,
             )
             yield s.image, s.corners
 

@@ -57,9 +57,11 @@ def _generate(args) -> None:
         written = 0
         for start in range(0, total, batch):
             n = min(batch, total - start)
+            # keep_in_frame: the written corner_annotations.json must obey
+            # the reference contract (mask-derived => never off-screen)
             s = synthetic_batch(
                 jax.random.key(seed_base + start), batch, args.height,
-                args.width, 0.09, assets, args.real_prob,
+                args.width, 0.09, assets, args.real_prob, True,
             )
             imgs = np.asarray(
                 (s.image * 255.0 + 0.5).astype("uint8")

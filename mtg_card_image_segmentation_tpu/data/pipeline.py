@@ -124,15 +124,20 @@ class PoseSyntheticPipeline:
         def make(key):
             if aug is not None and aug.enabled:
                 # fused render+augment (keypoint path: no elastic/grid so the
-                # corner coordinates stay exact, like augment_sample)
+                # corner coordinates stay exact, like augment_sample);
+                # keep_in_frame: base scene corners in-view (the reference's
+                # annotations derive from visible masks) — the affine aug may
+                # still push some out at train time, like the reference's
+                # zoom/rotation transforms
                 sample = synthetic_augmented_batch(
                     key, batch_size, height, width, 0.0, aug,
                     with_displacement=False, flip_idx=flip_idx,
-                    assets=assets, real_prob=real_prob,
+                    assets=assets, real_prob=real_prob, keep_in_frame=True,
                 )
             else:
                 sample = synthetic_batch(
-                    key, batch_size, height, width, 0.0, assets, real_prob
+                    key, batch_size, height, width, 0.0, assets, real_prob,
+                    keep_in_frame=True,
                 )
             images, corners = sample.image, sample.corners
             hm_coords = pixels_to_heatmap_coords(

@@ -190,22 +190,31 @@ def _background(key: jax.Array, h: int, w: int) -> jax.Array:
     return _background_at(key, y, x, h, w)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 6))
 def synthetic_sample(
     key: jax.Array, h: int = 320, w: int = 240,
     negative_prob: float = NEGATIVE_PROB,
     assets: AssetBank | None = None, real_prob: float = 0.7,
+    keep_in_frame: bool = False,
 ) -> SyntheticSample:
     """Render one (h, w) synthetic scene. ``negative_prob=0`` guarantees a
     card (the pose pipelines train only on card images, matching the
     reference's corner_annotations contract). With ``assets``, real card
-    scans / photo backgrounds composite in with probability ``real_prob``."""
-    return _render_scene(key, h, w, negative_prob, None, None, assets, real_prob)
+    scans / photo backgrounds composite in with probability ``real_prob``.
+
+    ``keep_in_frame`` guarantees all 4 corners land inside the image (the
+    keypoint pipelines' contract: the reference's annotations are derived
+    from visible masks of fully-in-view Blender renders,
+    generate_synthetic.py:252-324, so no GT corner is ever off-screen)."""
+    return _render_scene(
+        key, h, w, negative_prob, None, None, assets, real_prob, keep_in_frame
+    )
 
 
 def _render_scene(
     key: jax.Array, h: int, w: int, negative_prob: float,
     src_y, src_x, assets: AssetBank | None = None, real_prob: float = 0.7,
+    keep_in_frame: bool = False,
 ) -> SyntheticSample:
     """Core renderer. When ``src_y/src_x`` are given (augmentation-composed
     source-coordinate maps), the whole scene is evaluated *at those source
@@ -239,7 +248,11 @@ def _render_scene(
         background = jnp.where(use_real_bg, bg_real, background)
 
     # --- card placement: rect corners -> rotate -> translate -> perspective jitter
-    scale = jax.random.uniform(k_scale, minval=0.35, maxval=0.95)
+    # keep_in_frame caps the scale so even a diagonal card fits (card
+    # diag = 1.23 * card_h; 0.72 * 1.23 < 0.9) before the shift below
+    scale = jax.random.uniform(
+        k_scale, minval=0.35, maxval=0.72 if keep_in_frame else 0.95
+    )
     card_h_px = scale * min(h, w)
     card_w_px = card_h_px * (CARD_W_MM / CARD_H_MM)
     angle = jax.random.uniform(k_rot, minval=0.0, maxval=2 * jnp.pi)
@@ -261,6 +274,17 @@ def _render_scene(
     # perspective: per-corner jitter up to 6% of card size (camera Y 45-135deg)
     jit = jax.random.uniform(k_persp, (4, 2), minval=-0.06, maxval=0.06)
     corners = corners + jit * jnp.array([card_w_px, card_h_px])
+
+    if keep_in_frame:
+        # translate the quad fully inside the frame (2px margin): off-screen
+        # corners are unobservable for heatmap decoding and never occur in
+        # the reference's mask-derived annotations
+        margin = 2.0
+        lim = jnp.array([w - 1.0, h - 1.0])
+        shift = jnp.maximum(0.0, margin - corners.min(axis=0)) - jnp.maximum(
+            0.0, corners.max(axis=0) - (lim - margin)
+        )
+        corners = corners + shift
 
     # homography: card uv unit square -> image corners; inverse for sampling
     src_uv = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
@@ -334,15 +358,18 @@ def canonicalize_corners(corners: jax.Array) -> jax.Array:
     return pts[(start + jnp.arange(4)) % 4]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 7))
 def synthetic_batch(
     key: jax.Array, batch: int, h: int = 320, w: int = 240,
     negative_prob: float = NEGATIVE_PROB,
     assets: AssetBank | None = None, real_prob: float = 0.7,
+    keep_in_frame: bool = False,
 ) -> SyntheticSample:
     keys = jax.random.split(key, batch)
     return jax.vmap(
-        lambda k: synthetic_sample(k, h, w, negative_prob, assets, real_prob)
+        lambda k: synthetic_sample(
+            k, h, w, negative_prob, assets, real_prob, keep_in_frame
+        )
     )(keys)
 
 
@@ -351,6 +378,7 @@ def synthetic_augmented_sample(
     with_displacement: bool = True,
     flip_idx=None,
     assets: AssetBank | None = None, real_prob: float = 0.7,
+    keep_in_frame: bool = False,
 ) -> SyntheticSample:
     """Render one scene with the augmentation suite's geometry composed
     directly into the render coordinates — ZERO gathers.
@@ -385,7 +413,8 @@ def synthetic_augmented_sample(
         src_x = src_x + dx
 
     sample = _render_scene(
-        k_scene, h, w, negative_prob, src_y, src_x, assets, real_prob
+        k_scene, h, w, negative_prob, src_y, src_x, assets, real_prob,
+        keep_in_frame,
     )
 
     # zero-border: outside the source frame the warp reads nothing
@@ -412,11 +441,12 @@ def synthetic_augmented_batch(
     key: jax.Array, batch: int, h: int, w: int, negative_prob: float,
     aug_cfg, with_displacement: bool = True, flip_idx=None,
     assets: AssetBank | None = None, real_prob: float = 0.7,
+    keep_in_frame: bool = False,
 ) -> SyntheticSample:
     keys = jax.random.split(key, batch)
     return jax.vmap(
         lambda k: synthetic_augmented_sample(
             k, h, w, negative_prob, aug_cfg, with_displacement, flip_idx,
-            assets, real_prob,
+            assets, real_prob, keep_in_frame,
         )
     )(keys)

@@ -323,3 +323,21 @@ def test_augmented_corners_canonical(mesh8):
         assert np.argmin(got.sum(axis=1)) == 0
         x, y = got[:, 0], got[:, 1]
         assert np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) > 0
+
+
+def test_keep_in_frame_corners_visible():
+    """Keypoint-pipeline contract: every GT corner inside the image (the
+    reference's annotations are mask-derived from fully-in-view renders, so
+    off-screen corners never occur; heatmap argmax cannot represent them)."""
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        synthetic_augmented_batch,
+        synthetic_batch,
+    )
+
+    h, w = 120, 160
+    s = synthetic_batch(jax.random.key(7), 32, h, w, 0.0, keep_in_frame=True)
+    c = np.asarray(s.corners)
+    assert (c[..., 0] >= 0).all() and (c[..., 0] <= w - 1).all()
+    assert (c[..., 1] >= 0).all() and (c[..., 1] <= h - 1).all()
+    # clean render path still yields valid card masks
+    assert np.asarray(s.mask).sum() > 0

@@ -71,12 +71,13 @@ def main() -> None:
         s = synthetic_augmented_batch(
             key, batch, size, size, 0.0, aug,
             with_displacement=False, flip_idx=(1, 0, 3, 2),
+            keep_in_frame=True,
         )
         return s.image, s.corners
 
     @jax.jit
     def make_clean_batch(key):
-        s = synthetic_batch(key, batch, size, size, 0.0)
+        s = synthetic_batch(key, batch, size, size, 0.0, keep_in_frame=True)
         return s.image, s.corners
 
     @jax.jit

@@ -32,6 +32,10 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     import numpy as np
 
     from mtg_card_image_segmentation_tpu.config import pose_default_config

@@ -27,6 +27,10 @@ def main() -> None:
 
     import jax
 
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+
     from mtg_card_image_segmentation_tpu.config import Config, default_config
     from mtg_card_image_segmentation_tpu.evaluation import SegEvaluator
     from mtg_card_image_segmentation_tpu.models import registry

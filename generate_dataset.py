@@ -26,6 +26,10 @@ import sys
 def _generate(args) -> None:
     import cv2
     import jax
+
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     import numpy as np
 
     from mtg_card_image_segmentation_tpu.data.synthetic import (

@@ -36,6 +36,10 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     import jax.numpy as jnp
     import numpy as np
 

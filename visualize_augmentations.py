@@ -29,6 +29,10 @@ def main() -> None:
 
     matplotlib.use("Agg")
     import jax
+
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
     import matplotlib.pyplot as plt
     import numpy as np
 

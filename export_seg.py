@@ -225,26 +225,47 @@ def main() -> None:
         ok32 = d32 < cfg.export.parity_atol_fp32
         print(f"fp32 parity: max|diff|={d32:.2e} (< {cfg.export.parity_atol_fp32}) "
               f"{'PASS' if ok32 else 'FAIL'}")
-        out16 = np.asarray(make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw)))
-        d16 = float(np.abs(out16 - ref_nchw).max())
-        rel16 = float(
-            np.max(np.abs(out16 - ref_nchw) / (np.abs(ref_nchw) + 1e-3))
-        )
-        # configured gate (ExportConfig defaults mirror the reference's
-        # auto-mixed-precision tolerance, export_onnx.py:104): pass if every
-        # element is within rtol OR atol — the standard mixed criterion
-        ok16 = bool(
-            np.all(
-                np.abs(out16 - ref_nchw)
-                <= cfg.export.parity_atol_fp16
-                + cfg.export.parity_rtol_fp16 * np.abs(ref_nchw)
+        rtol16 = cfg.export.parity_rtol_fp16
+        atol16 = cfg.export.parity_atol_fp16
+
+        def gate16():
+            out16 = np.asarray(
+                make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw))
             )
-        )
+            d = float(np.abs(out16 - ref_nchw).max())
+            rel = float(np.max(np.abs(out16 - ref_nchw) / (np.abs(ref_nchw) + 1e-3)))
+            fine = bool(
+                np.all(np.abs(out16 - ref_nchw) <= atol16 + rtol16 * np.abs(ref_nchw))
+            )
+            return fine, d, rel
+
+        ok16, d16, rel16 = gate16()
+        n_fp16 = len(fp16_model.nodes)
+        if not ok16:
+            # full-fp16 misses the configured tolerance on this checkpoint:
+            # fall back to mixed precision, keeping the smallest fp32 graph
+            # suffix that restores it (the reference's
+            # auto_convert_mixed_precision behavior, export_onnx.py:99-107)
+            from mtg_card_image_segmentation_tpu.export.onnx_export import (
+                auto_mixed_precision,
+            )
+
+            fp16_model, n_fp16 = auto_mixed_precision(
+                onnx_model, ref_nchw,
+                lambda m: make_runner(m)(jnp.asarray(x_nchw)),
+                rtol=rtol16, atol=atol16,
+            )
+            fp16_model.save(fp16_path)
+            print(f"model_fp16.onnx rewritten mixed-precision "
+                  f"({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
+                  f"{n_fp16}/{len(onnx_model.nodes)} nodes fp16)")
+            ok16, d16, rel16 = gate16()
         print(f"fp16 parity: max|diff|={d16:.2e} relmax={rel16:.2e} "
               f"{'PASS' if ok16 else 'FAIL'}")
         parity = {
             "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
             "fp16_max_abs_diff": d16, "fp16_rel_max": rel16, "fp16_pass": bool(ok16),
+            "fp16_nodes": n_fp16, "total_nodes": len(onnx_model.nodes),
         }
         prec_ctx.__exit__(None, None, None)
         if not (ok32 and ok16):

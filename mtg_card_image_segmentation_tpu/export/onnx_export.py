@@ -387,37 +387,143 @@ def export_pose_model(
     )
 
 
-def convert_to_fp16(model: op.Model, keep_io_types: bool = True) -> op.Model:
-    """fp32 -> fp16 weight/compute conversion with fp32 I/O casts
-    (onnx_fp16_converter.py:66-79 semantics: keep_io_types default)."""
+def convert_to_fp16(
+    model: op.Model,
+    keep_io_types: bool = True,
+    fp16_nodes: Optional[set] = None,
+) -> op.Model:
+    """fp32 -> fp16 conversion with fp32 I/O casts
+    (onnx_fp16_converter.py:66-79 semantics: keep_io_types default).
+
+    ``fp16_nodes``: names of the nodes to run in fp16 (None = all). Nodes
+    outside the set stay fp32 and Cast ops are inserted at every
+    fp16<->fp32 boundary — the mechanism behind mixed-precision export
+    (auto_convert_mixed_precision, train-pose-estimation_custom/
+    export_onnx.py:99-107). Initializers go fp16 iff every consumer is an
+    fp16 node; non-float tensors (Resize sizes etc.) are never touched.
+    """
+    fp16set = (
+        {n.name for n in model.nodes} if fp16_nodes is None else set(fp16_nodes)
+    )
+    # who consumes each value (for initializer dtype decisions)
+    consumers: dict = {}
+    for n in model.nodes:
+        for i in n.inputs:
+            consumers.setdefault(i, []).append(n.name)
+
+    # dtype category of every producible value: "f16" | "f32" | "other"
+    cat: dict = {}
+    for name, _elem, _shape in model.inputs:
+        cat[name] = "f32"
     inits = []
     for t in model.initializers:
-        if t.array.dtype == np.float32:
+        if t.array.dtype == np.float32 and all(
+            c in fp16set for c in consumers.get(t.name, [])
+        ) and consumers.get(t.name):
             inits.append(op.Tensor(t.name, t.array.astype(np.float16)))
+            cat[t.name] = "f16"
         else:
             inits.append(t)
-    nodes = [op.Node(n.op_type, list(n.inputs), list(n.outputs), n.name, dict(n.attributes)) for n in model.nodes]
+            cat[t.name] = "f32" if t.array.dtype == np.float32 else "other"
+
+    nodes: list = []
+    cast_cache: dict = {}
+
+    def casted(val: str, to16: bool) -> str:
+        key = (val, to16)
+        if key not in cast_cache:
+            cname = val + ("_c16" if to16 else "_c32")
+            nodes.append(
+                op.Node(
+                    "Cast", [val], [cname], cname,
+                    {"to": op.FLOAT16 if to16 else op.FLOAT},
+                )
+            )
+            cat[cname] = "f16" if to16 else "f32"
+            cast_cache[key] = cname
+        return cast_cache[key]
+
+    for n in model.nodes:
+        want = "f16" if n.name in fp16set else "f32"
+        ins = []
+        for i in n.inputs:
+            c = cat.get(i, "other")
+            if c in ("f16", "f32") and c != want:
+                ins.append(casted(i, want == "f16"))
+            else:
+                ins.append(i)
+        nodes.append(op.Node(n.op_type, ins, list(n.outputs), n.name, dict(n.attributes)))
+        for o in n.outputs:
+            cat[o] = want
+
     inputs = list(model.inputs)
     outputs = list(model.outputs)
     if keep_io_types:
-        # input cast fp32 -> fp16
-        for idx, (name, elem, shape) in enumerate(inputs):
-            cast_out = name + "_fp16"
-            for n in nodes:
-                n.inputs = [cast_out if i == name else i for i in n.inputs]
-            nodes.insert(
-                0, op.Node("Cast", [name], [cast_out], cast_out, {"to": op.FLOAT16})
-            )
-        # output cast fp16 -> fp32
-        for idx, (name, elem, shape) in enumerate(outputs):
-            pre = name + "_fp16"
-            for n in nodes:
-                n.outputs = [pre if o == name else o for o in n.outputs]
-            nodes.append(op.Node("Cast", [pre], [name], name + "_cast", {"to": op.FLOAT}))
+        # graph outputs must stay fp32: re-route any fp16-produced output
+        for name, _elem, _shape in outputs:
+            if cat.get(name) == "f16":
+                pre = name + "_fp16"
+                for n in nodes:
+                    n.outputs = [pre if o == name else o for o in n.outputs]
+                    n.inputs = [pre if i == name else i for i in n.inputs]
+                nodes.append(
+                    op.Node("Cast", [pre], [name], name + "_cast", {"to": op.FLOAT})
+                )
     else:
-        inputs = [(n, op.FLOAT16, s) for n, e, s in inputs]
-        outputs = [(n, op.FLOAT16, s) for n, e, s in outputs]
+        inputs = [(n_, op.FLOAT16, s) for n_, _e, s in inputs]
+        outputs = [(n_, op.FLOAT16, s) for n_, _e, s in outputs]
     return op.Model(
         model.graph_name, nodes, inits, inputs, outputs, model.opset,
         model.producer, model.doc,
     )
+
+
+def auto_mixed_precision(
+    model: op.Model,
+    reference_output: np.ndarray,
+    run_fn,
+    rtol: float = 1e-2,
+    atol: float = 1e-3,
+    log=print,
+):
+    """Largest-fp16-prefix mixed-precision conversion, the behavioral twin
+    of onnxconverter_common.auto_convert_mixed_precision
+    (train-pose-estimation_custom/export_onnx.py:99-107): convert the graph
+    to fp16 node-by-node in topological order, keeping a fp32 *suffix* just
+    large enough that the converted model matches ``reference_output``
+    within (rtol, atol). Binary-searches the boundary (error growth along
+    the graph is monotone enough in practice; the final candidate is
+    re-verified before returning).
+
+    ``run_fn(model) -> np.ndarray`` executes a candidate model on the
+    probe input. Returns (converted_model, n_fp16_nodes).
+    """
+    names = [n.name for n in model.nodes]
+
+    def ok(k: int) -> Tuple[bool, op.Model]:
+        cand = convert_to_fp16(model, keep_io_types=True, fp16_nodes=set(names[:k]))
+        got = np.asarray(run_fn(cand))
+        fine = bool(
+            np.all(np.abs(got - reference_output) <= atol + rtol * np.abs(reference_output))
+        )
+        return fine, cand
+
+    lo, hi = 0, len(names)  # lo = known-good fp16 prefix, hi+1.. = unknown
+    fine, cand = ok(hi)
+    if fine:
+        log(f"auto-mixed-precision: all {hi} nodes fp16 within tolerance")
+        return cand, hi
+    best = None
+    while lo < hi - 1:
+        mid = (lo + hi) // 2
+        fine, cand = ok(mid)
+        log(f"auto-mixed-precision: fp16 prefix {mid}/{len(names)} "
+            f"{'PASS' if fine else 'FAIL'}")
+        if fine:
+            lo, best = mid, cand
+        else:
+            hi = mid
+    if best is None:
+        fine, best = ok(lo)  # lo == 0: pure fp32 with IO casts — always passes
+    log(f"auto-mixed-precision: keeping {len(names) - lo} trailing nodes fp32")
+    return best, lo

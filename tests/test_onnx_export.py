@@ -272,3 +272,64 @@ def test_torch_runner_pose_parity(pose_export, tmp_path):
     ref = np.transpose(np.asarray(ref), (0, 3, 1, 2))
     max_diff = np.abs(out - ref).max()
     assert max_diff < 1e-4, f"torch-runner pose parity failed: {max_diff}"
+
+
+def test_convert_fp16_node_subset(seg_export, tmp_path):
+    """Mixed conversion: an fp16 prefix + fp32 suffix with boundary casts
+    must execute and stay closer to fp32 than the all-fp16 graph."""
+    from mtg_card_image_segmentation_tpu.export.onnx_export import (
+        convert_to_fp16 as conv,
+    )
+
+    model, variables, onnx_model, (h, w) = seg_export
+    names = [n.name for n in onnx_model.nodes]
+    half = set(names[: len(names) // 2])
+    mixed = conv(onnx_model, keep_io_types=True, fp16_nodes=half)
+    path = str(tmp_path / "mixed.onnx")
+    mixed.save(path)
+    loaded = op.Model.load(path)
+    # both precisions present among float initializers
+    dts = {t.array.dtype for t in loaded.initializers if t.array.dtype != np.int64}
+    assert np.dtype(np.float16) in dts and np.dtype(np.float32) in dts
+    # at least one boundary cast besides the IO casts
+    assert sum(1 for n in loaded.nodes if n.op_type == "Cast") >= 2
+    # IO contract unchanged
+    assert loaded.inputs[0][1] == op.FLOAT and loaded.outputs[0][1] == op.FLOAT
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    out32 = np.asarray(make_runner(onnx_model)(jnp.asarray(x)))
+    out_mixed = np.asarray(make_runner(loaded)(jnp.asarray(x)))
+    out16 = np.asarray(
+        make_runner(conv(onnx_model, keep_io_types=True))(jnp.asarray(x))
+    )
+    # fp32 suffix can't make things meaningfully worse than all-fp16
+    # (exact ordering is noise-level on a random-init model)
+    assert np.abs(out_mixed - out32).max() <= 2 * np.abs(out16 - out32).max() + 1e-6
+
+
+def test_auto_mixed_precision_search(seg_export):
+    """auto_mixed_precision keeps a fp32 suffix just large enough to meet a
+    tolerance full-fp16 cannot (export_onnx.py:99-107 behavior)."""
+    from mtg_card_image_segmentation_tpu.export.onnx_export import (
+        auto_mixed_precision,
+        convert_to_fp16 as conv,
+    )
+
+    model, variables, onnx_model, (h, w) = seg_export
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    ref = np.asarray(make_runner(onnx_model)(jnp.asarray(x)))
+    run = lambda m: make_runner(m)(jnp.asarray(x))
+
+    # pick a tolerance tighter than the full-fp16 error so the search must
+    # keep some suffix fp32
+    full16 = np.asarray(run(conv(onnx_model, keep_io_types=True)))
+    err16 = np.abs(full16 - ref).max()
+    atol = float(err16) / 4.0
+    mixed, n16 = auto_mixed_precision(
+        onnx_model, ref, run, rtol=0.0, atol=atol, log=lambda *a: None
+    )
+    got = np.asarray(run(mixed))
+    assert np.all(np.abs(got - ref) <= atol + 1e-9)
+    assert 0 <= n16 < len(onnx_model.nodes)

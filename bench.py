@@ -39,6 +39,11 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--batches", type=int, nargs="*", default=[32, 64, 128])
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--checkpoint", default=None,
+                        help="bench a trained checkpoint instead of random init")
+    parser.add_argument("--slim", action="store_true",
+                        help="physically remove dead expansion channels first "
+                             "(expansion-pruned checkpoints)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -50,11 +55,33 @@ def main() -> None:
     variables = jax.jit(lambda k: model.init(k, init_x, train=False))(
         jax.random.key(0)
     )
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.checkpoint:
+        import os
+
+        from mtg_card_image_segmentation_tpu.config import default_config
+        from mtg_card_image_segmentation_tpu.training import (
+            checkpoint as ckpt_lib,
+            create_optimizer,
+            create_seg_state,
+        )
+
+        tx, _ = create_optimizer(default_config().optimizer, 1, 1)
+        state = create_seg_state(model, tx, (1, 64, 48, 3), jax.random.key(0))
+        ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
+        state, _ = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state,
+                                            params_only=True)
+        params, batch_stats = state.params, state.batch_stats
+    if args.slim:
+        from mtg_card_image_segmentation_tpu.compression.slim import slim_seg_state
+
+        params, batch_stats, overrides = slim_seg_state(params, batch_stats)
+        n_slim = sum(o is not None for o in overrides)
+        if args.verbose:
+            print(f"# slim: {n_slim} blocks narrowed")
     # the serving fast path: folded BN + bf16 + fused Pallas normalize/decode,
     # uint8 in -> uint8 mask out (what a deployed consumer sends/receives)
-    predictor = SegPredictor(
-        variables["params"], variables["batch_stats"], args.size, args.size
-    )
+    predictor = SegPredictor(params, batch_stats, args.size, args.size)
 
     def forward(images_u8):
         return predictor.predict(images_u8)

@@ -117,21 +117,29 @@ def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS):
     x = stem.apply({"params": bb_params["stem"]}, x)
     taps = {}
     cin = 16
+    from mtg_card_image_segmentation_tpu.models.layers import make_divisible
+
     for i, (k, exp, out, se, act, stride, in_tail) in enumerate(
         MOBILENET_V3_LARGE_ROWS
     ):
         dilation = 2 if in_tail else 1
         eff_stride = 1 if dilation > 1 else stride
         p_blk = bb_params[f"block{i}"]
-        if i in fused_ids:
+        # slim (physically channel-pruned) checkpoints have narrower
+        # expansions than the table — read the width from the params and
+        # take the XLA path for those blocks (the Pallas kernel's tiling
+        # assumes the table widths)
+        exp_eff = int(p_blk["depthwise"]["conv"]["kernel"].shape[-1])
+        if i in fused_ids and exp_eff == exp:
             x = fused_inverted_residual(
                 x, p_blk, kernel_size=k, stride=eff_stride, act=act,
                 residual=(eff_stride == 1 and cin == out), dilation=dilation,
             )
         else:
             blk = InvertedResidual(
-                expanded=exp, out_features=out, kernel=k, stride=stride,
+                expanded=exp_eff, out_features=out, kernel=k, stride=stride,
                 dilation=dilation, use_se=se, act=act, fold_bn=True,
+                se_features=make_divisible(exp // 4, 8) if se else None,
                 dtype=dtype, param_dtype=dtype,
             )
             x = blk.apply({"params": p_blk}, x)

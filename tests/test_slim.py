@@ -78,3 +78,35 @@ def test_slim_matches_masked_model(seg_variables):
     full = param_count(variables["params"])
     slim = param_count(slim_params)
     assert slim < 0.85 * full  # ~20%+ of params live in pruned expansions
+
+
+@pytest.mark.slow
+def test_slim_fused_backbone(seg_variables):
+    """The serving fast path's manual backbone loop handles slim widths:
+    _fused_backbone on slim params == the slim model's backbone."""
+    from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+    from mtg_card_image_segmentation_tpu.models.mobilenetv3 import (
+        MobileNetV3Backbone,
+    )
+    from mtg_card_image_segmentation_tpu.serving.predictor import _fused_backbone
+
+    model, variables = seg_variables
+    pruned, _ = expansion_channel_prune(variables["params"], amount=0.3)
+    slim_params, slim_stats, overrides = slim_seg_state(
+        pruned, variables["batch_stats"]
+    )
+    folded = fold_batch_norm(slim_params, slim_stats)["backbone"]
+
+    bb = MobileNetV3Backbone(
+        dilated=True, fold_bn=True, expanded_overrides=overrides,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 64, 48, 3)), jnp.float32)
+    want = jax.jit(lambda p, x: bb.apply({"params": p}, x, train=False))(
+        folded, x
+    )
+    got = _fused_backbone(folded, x, jnp.float32, fused_ids=())
+    np.testing.assert_allclose(
+        np.asarray(got["high"]), np.asarray(want["high"]), rtol=1e-5, atol=1e-5
+    )

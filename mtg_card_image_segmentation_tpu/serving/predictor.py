@@ -217,6 +217,15 @@ class SegPredictor:
         self._params = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
         self.height, self.width = height, width
 
+        # the fused inverted-residual kernel flattens the stride-16 spatial
+        # grid into the sublane dimension; Mosaic rejects the shape cast
+        # when H/16 * W/16 isn't a multiple of 8 (e.g. 320x240 -> 20*15=300).
+        # Those operating points take the XLA path for the tail blocks —
+        # the rest of the fused pipeline (stem-folded normalize, collapsed
+        # head, fused mask decode) is shape-agnostic.
+        if ((height // 16) * (width // 16)) % 8 != 0:
+            fused_blocks = ()
+
         if use_pallas:
 
             @jax.jit

@@ -25,8 +25,9 @@ export class ModelInference {
     return caps;
   }
 
-  async initialize(fp16Url = '/models/model_fp16.onnx',
-                   fp32Url = '/models/model.onnx') {
+  // relative URLs so the demo works from any mount point (subpath deploys)
+  async initialize(fp16Url = 'models/model_fp16.onnx',
+                   fp32Url = 'models/model.onnx') {
     const caps = this.detectCapabilities();
     const ladder = ['webgpu', 'webgl', 'wasm'].filter((p) => caps[p]);
     const errors = [];

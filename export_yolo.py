@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""YOLO12n-pose ONNX export CLI
+(reference: ultralytics .export(format='onnx', opset 11, simplify, dynamic,
+half) driven from train-pose-estimation_yolo12n/model.py:266-310).
+
+Creates a deployment package from a trained YOLO corner checkpoint:
+  yolo.onnx        fp32 ONNX graph (BN folded, decode in-graph), opset 19
+  yolo_fp16.onnx   fp16 weights, fp32 I/O
+  yolo_info.json   IO contract + parity results
+
+Output contract: "output0" (1, 17, A) — rows [x1,y1,x2,y2,score,
+(kx,ky,kconf)x4] in input pixels (see export/onnx_yolo.py). Parity gates:
+fp32 max|diff| < 2e-3 px on a 640px graph (the reference's 1e-4 logit gate
+scaled to pixel-valued outputs); fp16 within 1 px / 1e-2 on probability
+rows; independent torch-kernel re-execution; protoc wire-format decode.
+
+  python export_yolo.py --checkpoint runs/yolo_full_r3/checkpoints/best_model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--output-dir", default="exported_models_yolo")
+    parser.add_argument("--imgsz", type=int, default=640)
+    parser.add_argument("--skip-verify", action="store_true")
+    parser.add_argument("--info", action="store_true",
+                        help="print checkpoint info and exit")
+    args = parser.parse_args()
+
+    import jax
+
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtg_card_image_segmentation_tpu.config import default_config
+    from mtg_card_image_segmentation_tpu.export import fold_batch_norm
+    from mtg_card_image_segmentation_tpu.export import onnx_proto as op
+    from mtg_card_image_segmentation_tpu.export.onnx_export import convert_to_fp16
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
+    from mtg_card_image_segmentation_tpu.export.onnx_yolo import export_yolo_model
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.models.yolo12_pose import YOLO12Pose
+    from mtg_card_image_segmentation_tpu.training import (
+        checkpoint as ckpt_lib,
+        create_optimizer,
+        create_seg_state,
+    )
+    from mtg_card_image_segmentation_tpu.utils import count_parameters
+
+    size = args.imgsz
+    cfg = default_config()
+    model = create_model("yolo12n_pose", compute_dtype="float32")
+    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
+    state = create_seg_state(model, tx, (1, size, size, 3), jax.random.key(0))
+    ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
+    state, meta = ckpt_lib.load_checkpoint(
+        ckpt_dir or ".", name, state, params_only=True
+    )
+    if args.info:
+        print(json.dumps({
+            "epoch": meta.get("epoch"), "best_metric": meta.get("best_metric"),
+            "parameters": count_parameters(state.params),
+            "input": [1, 3, size, size],
+            "output0": [1, 17, sum((size // s) ** 2 for s in (8, 16, 32))],
+        }, indent=2))
+        return
+    print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+
+    folded = fold_batch_norm(state.params, state.batch_stats)
+    onnx_model = export_yolo_model(folded, imgsz=size, opset=19)
+    os.makedirs(args.output_dir, exist_ok=True)
+    fp32_path = os.path.join(args.output_dir, "yolo.onnx")
+    onnx_model.save(fp32_path)
+    print(f"yolo.onnx ({os.path.getsize(fp32_path) / 1e6:.1f} MB)")
+
+    fp16_model = convert_to_fp16(onnx_model, keep_io_types=True)
+    fp16_path = os.path.join(args.output_dir, "yolo_fp16.onnx")
+    fp16_model.save(fp16_path)
+    print(f"yolo_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
+
+    atol32, atol16 = 2e-3, 1.0
+    parity = {}
+    if not args.skip_verify:
+        folded_model = YOLO12Pose(fold_bn=True, dtype=jnp.float32)
+        with jax.default_matmul_precision("float32"):
+            rng = np.random.default_rng(0)
+            x_nchw = rng.random((1, 3, size, size)).astype(np.float32)
+            boxes, scores, kpts = jax.jit(
+                lambda img: folded_model.apply({"params": folded}, img, train=False)
+            )(jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))))
+            a = np.asarray(boxes)[0].T
+            s = np.asarray(scores)[0].T
+            kk = np.transpose(np.asarray(kpts)[0], (1, 2, 0)).reshape(-1, a.shape[1])
+            ref = np.concatenate([a, s, kk], axis=0)[None]
+
+            out32 = np.asarray(
+                make_runner(op.Model.load(fp32_path))(jnp.asarray(x_nchw))
+            )
+            d32 = float(np.abs(out32 - ref).max())
+            ok32 = d32 < atol32
+            print(f"fp32 parity: max|diff|={d32:.2e} (< {atol32}) "
+                  f"{'PASS' if ok32 else 'FAIL'}")
+            out16 = np.asarray(
+                make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw))
+            )
+            d16 = float(np.abs(out16 - ref).max())
+            ok16 = bool(np.all(np.abs(out16 - ref) <= atol16 + 1e-2 * np.abs(ref)))
+            print(f"fp16 parity: max|diff|={d16:.2e} {'PASS' if ok16 else 'FAIL'}")
+
+            # independent torch-kernel re-execution (export_seg.py rationale)
+            from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+            got = onnx_torch_runner.run_model(
+                op.Model.load(fp32_path), {"input": x_nchw}
+            )["output0"]
+            dt = float(np.abs(got - ref).max())
+            okt = dt < atol32
+            print(f"independent torch-runner parity: max|diff|={dt:.2e} "
+                  f"{'PASS' if okt else 'FAIL'}")
+        parity = {
+            "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
+            "fp16_max_abs_diff": d16, "fp16_pass": bool(ok16),
+            "torch_runner_max_abs_diff": dt, "torch_runner_pass": bool(okt),
+        }
+        import shutil
+        import subprocess
+
+        if shutil.which("protoc"):
+            schema_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"
+            )
+            with open(fp32_path, "rb") as f:
+                proc = subprocess.run(
+                    ["protoc", f"-I{schema_dir}", "--decode=onnx.ModelProto",
+                     "onnx_schema.proto"],
+                    stdin=f, capture_output=True, text=True, timeout=120,
+                )
+            parity["protoc_decode_pass"] = proc.returncode == 0
+            print("independent protoc decode: "
+                  + ("PASS" if parity["protoc_decode_pass"]
+                     else "FAIL: " + proc.stderr[:200]))
+        if not (ok32 and ok16 and okt):
+            raise SystemExit("parity gate FAILED")
+
+    info = {
+        "model": "yolo12n_pose",
+        "input": {"name": "input", "shape": [1, 3, size, size],
+                  "dtype": "float32", "normalization": "/255 only"},
+        "output": {
+            "name": "output0",
+            "shape": [1, 17, sum((size // s) ** 2 for s in (8, 16, 32))],
+            "rows": "[x1,y1,x2,y2,score,(kx,ky,kconf)x4] in input pixels",
+            "decode": "max_det=1: box at argmax score; keypoint k at its "
+                      "argmax kconf column",
+        },
+        "parameters": count_parameters(state.params),
+        "opset": 19,
+        "checkpoint_epoch": meta.get("epoch"),
+        "best_metric": meta.get("best_metric"),
+        "parity": parity,
+    }
+    with open(os.path.join(args.output_dir, "yolo_info.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    print(f"deployment package -> {args.output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,10 +43,12 @@ def _generate(args) -> None:
             args.texture_dir or os.path.join(args.output, "references", "train"),
             args.background_dir or os.path.join(args.output, "backgrounds"),
             bg_hw=(args.height, args.width),
+            hdri_dir=args.hdri_dir or os.path.join(args.output, "hdris"),
         )
         print(f"real-asset bank: {assets.textures.shape[0]} textures, "
-              f"{assets.backgrounds.shape[0]} backgrounds "
-              "(dataset_generator/generate_synthetic.py:189-249 realism path)")
+              f"{assets.backgrounds.shape[0]} backgrounds, "
+              f"{assets.hdris.shape[0]} HDRIs "
+              "(dataset_generator/generate_synthetic.py:189-249,326-361 realism path)")
 
     counts = {"train": args.train, "test": args.test}
     annotations = {}
@@ -109,6 +111,7 @@ def main() -> None:
                              "the reference's Blender pipeline)")
     parser.add_argument("--texture-dir", default=None)
     parser.add_argument("--background-dir", default=None)
+    parser.add_argument("--hdri-dir", default=None)
     parser.add_argument("--real-prob", type=float, default=0.7)
     parser.add_argument("--download-references", action="store_true")
     parser.add_argument("--download-backgrounds", action="store_true")

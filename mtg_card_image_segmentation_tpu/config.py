@@ -53,6 +53,10 @@ class MeshConfig:
     data: int = -1
     space: int = 1
     model: int = 1
+    # DCN axis for multi-host scale-out: usually set to jax.process_count()
+    # after parallel.distributed.initialize() (trainers do this when left at 1
+    # in a multi-process run)
+    hosts: int = 1
 
 
 @dataclass(frozen=True)
@@ -119,6 +123,7 @@ class DataConfig:
     # card scans / background photos; empty = fully procedural
     texture_dir: str = ""
     background_dir: str = ""
+    hdri_dir: str = ""  # Polyhaven HDRI maps (lighting + env backgrounds)
     real_asset_prob: float = 0.7
 
 

@@ -34,6 +34,28 @@ from mtg_card_image_segmentation_tpu.data.synthetic import (
 from mtg_card_image_segmentation_tpu.parallel.mesh import is_trivial, shard_batch
 
 
+def _local_batch(batch_size: int) -> int:
+    """Per-process batch under multi-host: ``batch_size`` is the GLOBAL
+    batch; each process produces 1/process_count of it
+    (parallel/distributed.py contract)."""
+    n = jax.process_count()
+    if batch_size % n != 0:
+        raise ValueError(f"global batch {batch_size} not divisible by {n} processes")
+    return batch_size // n
+
+
+def _to_global(mesh, images, masks):
+    """Route a per-process batch onto the mesh: single-process device_put
+    or multi-host global-array assembly (no cross-host data movement)."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, images, masks)
+    from mtg_card_image_segmentation_tpu.parallel import distributed
+
+    return distributed.global_batch(
+        mesh, np.asarray(images), None if masks is None else np.asarray(masks)
+    )
+
+
 class SyntheticPipeline:
     """Infinite on-device stream of rendered+augmented+normalized batches."""
 
@@ -54,6 +76,9 @@ class SyntheticPipeline:
         self.mesh = mesh
         self.augment = augment
         self._key = jax.random.key(seed)
+        local_bs = _local_batch(batch_size)
+        if jax.process_count() > 1:  # distinct stream per host
+            self._key = jax.random.fold_in(self._key, jax.process_index())
 
         aug = augment
 
@@ -62,12 +87,12 @@ class SyntheticPipeline:
                 # fused render+augment: geometry composes into the render
                 # coordinates (zero gathers — see synthetic_augmented_sample)
                 sample = synthetic_augmented_batch(
-                    key, batch_size, height, width, NEGATIVE_PROB, aug,
+                    key, local_bs, height, width, NEGATIVE_PROB, aug,
                     assets=assets, real_prob=real_prob,
                 )
             else:
                 sample = synthetic_batch(
-                    key, batch_size, height, width, NEGATIVE_PROB,
+                    key, local_bs, height, width, NEGATIVE_PROB,
                     assets, real_prob,
                 )
             return normalize_only(sample.image), sample.mask
@@ -79,7 +104,7 @@ class SyntheticPipeline:
             self._key, sub = jax.random.split(self._key)
             images, masks = self._make(sub)
             if self.mesh is not None:
-                images, masks = shard_batch(self.mesh, images, masks)
+                images, masks = _to_global(self.mesh, images, masks)
             yield images, masks
 
 
@@ -118,6 +143,10 @@ class PoseSyntheticPipeline:
 
         self.mesh = mesh
         self._key = jax.random.key(seed)
+        local_bs = _local_batch(batch_size)
+        if jax.process_count() > 1:
+            self._key = jax.random.fold_in(self._key, jax.process_index())
+        batch_size = local_bs
         aug = augment
         flip_idx = self.FLIP_IDX
 
@@ -156,7 +185,28 @@ class PoseSyntheticPipeline:
         while True:
             self._key, sub = jax.random.split(self._key)
             images, targets, corners = self._make(sub)
-            if self.mesh is not None and not is_trivial(self.mesh):
+            if jax.process_count() > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mtg_card_image_segmentation_tpu.parallel.mesh import (
+                    AXIS_DATA,
+                    AXIS_HOSTS,
+                )
+
+                n = jax.process_count()
+
+                def glob(arr, spec):
+                    a = np.asarray(arr)
+                    return jax.make_array_from_process_local_data(
+                        NamedSharding(self.mesh, spec), a,
+                        (n * a.shape[0],) + a.shape[1:],
+                    )
+
+                bspec = P((AXIS_HOSTS, AXIS_DATA))
+                images = glob(images, bspec)
+                targets = glob(targets, bspec)
+                corners = glob(corners, bspec)
+            elif self.mesh is not None and not is_trivial(self.mesh):
                 from jax.sharding import NamedSharding
 
                 sh = NamedSharding(self.mesh, batch_spec())
@@ -200,25 +250,41 @@ class FilePipeline:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
+        self._local_bs = _local_batch(batch_size)
+        if jax.process_count() > 1:
+            # multi-host: each process decodes only its own index shard;
+            # eval-style padded batches need per-process valid accounting,
+            # so multi-host file pipelines are a training path
+            assert drop_last, "multi-host FilePipeline requires drop_last"
+            self._key = jax.random.fold_in(self._key, jax.process_index())
 
     @property
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
+        if jax.process_count() > 1:
+            from mtg_card_image_segmentation_tpu.parallel import distributed
+
+            n = len(distributed.process_shard(list(range(n))))
+            return n // self._local_bs
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _host_batches(self):
         order = np.arange(len(self.dataset))
+        if jax.process_count() > 1:
+            from mtg_card_image_segmentation_tpu.parallel import distributed
+
+            order = np.asarray(distributed.process_shard(list(order)))
         if self.shuffle:
             self._rng.shuffle(order)
         n = self.steps_per_epoch
         for b in range(n):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = order[b * self._local_bs : (b + 1) * self._local_bs]
             imgs, masks = [], []
             for i in idxs:
                 img, m = self.dataset.load_raw(int(i))
                 imgs.append(img)
                 masks.append(m)
-            while len(imgs) < self.batch_size:  # eval padding
+            while len(imgs) < self._local_bs:  # eval padding
                 imgs.append(np.zeros_like(imgs[0]))
                 masks.append(np.zeros_like(masks[0]))
             # host-side resize to a common shape only if sizes differ
@@ -266,5 +332,5 @@ class FilePipeline:
                 out = augment_batch(sub, images, masks, self.augment)
                 images, masks = normalize_only(out.image), out.mask
             if self.mesh is not None:
-                images, masks = shard_batch(self.mesh, images, masks)
+                images, masks = _to_global(self.mesh, images, masks)
             yield images, masks, valid

@@ -62,6 +62,11 @@ class AssetBank(NamedTuple):
 
     textures: jax.Array  # (Nt, Th, Tw, 3) float32 [0,1], card aspect H:W=88:63
     backgrounds: jax.Array  # (Nb, Bh, Bw, 3) float32 [0,1]
+    # equirect HDRI environments (downloaders.PolyhavenHDRIDownloader output;
+    # the reference lights every render with one, generate_synthetic.py:326-361)
+    hdris: jax.Array = jnp.zeros((0, 64, 128, 3))  # tone-mapped [0,1]
+    # blurred mean-1.0 illumination fields derived from hdris at load time
+    hdri_light: jax.Array = jnp.zeros((0, 16, 32, 3))
 
 
 def load_asset_bank(
@@ -70,42 +75,76 @@ def load_asset_bank(
     tex_hw: tuple[int, int] = (352, 256),
     bg_hw: tuple[int, int] = (480, 640),
     max_assets: int = 512,
+    hdri_dir: str | None = None,
+    hdri_hw: tuple[int, int] = (64, 128),
 ) -> AssetBank:
-    """Host-decode card scans / background photos into a device bank.
+    """Host-decode card scans / background photos / HDRI maps into a device
+    bank.
 
-    Reads every jpg/png under each directory (recursively), resizes textures
-    to the card aspect (88:63) and backgrounds to ``bg_hw``. Either
-    directory may be empty/None — the renderer falls back to procedural for
-    the missing kind.
+    Reads every jpg/png (and, for ``hdri_dir``, .hdr/.exr Radiance maps via
+    cv2 float decode) under each directory (recursively), resizes textures
+    to the card aspect (88:63) and backgrounds to ``bg_hw``. Any directory
+    may be empty/None — the renderer falls back to procedural for the
+    missing kind. HDRIs are Reinhard-tone-mapped to [0,1] for background
+    use; a blurred mean-normalized copy becomes the illumination field
+    (the reference's HDRI world lighting, strength 0.8-1.5,
+    generate_synthetic.py:326-361).
     """
     import os
 
     import cv2
     import numpy as np
 
-    def load_dir(d, hw):
+    def load_dir(d, hw, hdr=False):
         if not d or not os.path.isdir(d):
             return np.zeros((0, hw[0], hw[1], 3), np.float32)
+        exts = (".jpg", ".jpeg", ".png", ".hdr", ".exr") if hdr else (
+            ".jpg", ".jpeg", ".png")
         paths = []
         for root, _, files in os.walk(d):
             for f in sorted(files):
-                if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                if f.lower().endswith(exts):
                     paths.append(os.path.join(root, f))
         out = []
         for p in paths[:max_assets]:
-            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            flags = (
+                cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR if hdr else cv2.IMREAD_COLOR
+            )
+            img = cv2.imread(p, flags)
             if img is None:
                 continue
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+            if p.lower().endswith((".hdr", ".exr")):
+                img = img / (1.0 + img)  # Reinhard: radiance -> [0,1)
+            else:
+                img = img / 255.0
             img = cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_AREA)
-            out.append(img.astype(np.float32) / 255.0)
+            out.append(np.clip(img, 0.0, 1.0))
         if not out:
             return np.zeros((0, hw[0], hw[1], 3), np.float32)
         return np.stack(out)
 
+    hdris = load_dir(hdri_dir, hdri_hw, hdr=True)
+    if hdris.shape[0]:
+        # illumination field: blur to low frequency, normalize mean to 1.0
+        light = np.stack([
+            cv2.GaussianBlur(
+                cv2.resize(im, (32, 16), interpolation=cv2.INTER_AREA),
+                (5, 5), 2.0,
+            )
+            for im in hdris
+        ])
+        light = light / np.maximum(
+            light.mean(axis=(1, 2, 3), keepdims=True), 1e-3
+        )
+    else:
+        light = np.zeros((0, 16, 32, 3), np.float32)
+
     return AssetBank(
         textures=jnp.asarray(load_dir(texture_dir, tex_hw)),
         backgrounds=jnp.asarray(load_dir(background_dir, bg_hw)),
+        hdris=jnp.asarray(hdris),
+        hdri_light=jnp.asarray(light),
     )
 
 
@@ -247,6 +286,23 @@ def _render_scene(
         )
         background = jnp.where(use_real_bg, bg_real, background)
 
+    if assets is not None and assets.hdris.shape[0] > 0:
+        # HDRI environment as background: equirect sampled with a random
+        # horizontal rotation (the reference's random world rotation,
+        # generate_synthetic.py:326-361), wrap in x
+        ne = assets.hdris.shape[0]
+        eh, ew = assets.hdris.shape[1], assets.hdris.shape[2]
+        e_idx = jax.random.randint(jax.random.fold_in(k_asset, 2), (), 0, ne)
+        rot = jax.random.uniform(jax.random.fold_in(k_asset, 3))
+        ex = jnp.mod(src_x / max(w - 1, 1) * 0.5 + rot, 1.0) * (ew - 1.0)
+        ey = jnp.clip(src_y / max(h - 1, 1), 0.0, 1.0) * (eh - 1.0)
+        bg_hdri = W.warp_bilinear(assets.hdris[e_idx], ey, ex)
+        use_hdri_bg = jax.random.bernoulli(
+            jax.random.fold_in(k_real, 2),
+            real_prob * (0.5 if assets.backgrounds.shape[0] > 0 else 1.0),
+        )
+        background = jnp.where(use_hdri_bg, bg_hdri, background)
+
     # --- card placement: rect corners -> rotate -> translate -> perspective jitter
     # keep_in_frame caps the scale so even a diagonal card fits (card
     # diag = 1.23 * card_h; 0.72 * 1.23 < 0.9) before the shift below
@@ -324,13 +380,28 @@ def _render_scene(
     img = background * (1.0 - alpha[..., None]) + card_rgb * alpha[..., None]
 
     # illumination: low-frequency light field + vignette + exposure
-    lk = jax.random.split(k_light, 3)
+    lk = jax.random.split(k_light, 5)
     lx = jax.random.uniform(lk[0], minval=0.0, maxval=1.0)
     ly = jax.random.uniform(lk[1], minval=0.0, maxval=1.0)
     d2 = ((x / w) - lx) ** 2 + ((y / h) - ly) ** 2
-    light = 1.15 - 0.5 * jnp.sqrt(d2)
+    light = (1.15 - 0.5 * jnp.sqrt(d2))[..., None] * jnp.ones((3,))
+    if assets is not None and assets.hdri_light.shape[0] > 0:
+        # HDRI world illumination: every render lit by a random environment
+        # at strength 0.8-1.5 with random rotation — the reference's
+        # lighting model (generate_synthetic.py:326-361). The blurred
+        # mean-1.0 field gives colored, directional low-frequency light.
+        ne = assets.hdri_light.shape[0]
+        lh, lw = assets.hdri_light.shape[1], assets.hdri_light.shape[2]
+        l_idx = jax.random.randint(lk[2], (), 0, ne)
+        l_rot = jax.random.uniform(lk[3])
+        strength = jax.random.uniform(lk[4], minval=0.8, maxval=1.5)
+        gx = jnp.mod(x / max(w - 1, 1) * 0.5 + l_rot, 1.0) * (lw - 1.0)
+        gy = jnp.clip(y / max(h - 1, 1), 0.0, 1.0) * (lh - 1.0)
+        hdr_field = W.warp_bilinear(assets.hdri_light[l_idx], gy, gx)
+        # blend toward neutral so strength scales contrast as well as level
+        light = strength * (0.5 + 0.5 * hdr_field)
     exposure = jax.random.uniform(k_exp, minval=0.85, maxval=1.15)
-    img = jnp.clip(img * light[..., None] * exposure, 0.0, 1.0)
+    img = jnp.clip(img * light * exposure, 0.0, 1.0)
 
     mask = (alpha > 0.5).astype(jnp.int32)
     corners = canonicalize_corners(corners)

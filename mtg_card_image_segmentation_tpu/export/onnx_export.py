@@ -143,6 +143,42 @@ class GraphBuilder:
     def global_avg_pool(self, x: str, hint: str = "gap") -> str:
         return self.node("GlobalAveragePool", [x], hint)
 
+    # -- tensor ops (YOLO graph: attention / split / decode) ---------------
+
+    def silu(self, x: str, hint: str = "silu") -> str:
+        return self.node("Mul", [x, self.node("Sigmoid", [x], hint + "_sig")], hint)
+
+    def reshape(self, x: str, shape, hint: str) -> str:
+        shp = self.init_tensor(
+            self.fresh(hint + "_shape"), np.asarray(shape, np.int64)
+        )
+        return self.node("Reshape", [x, shp], hint)
+
+    def transpose(self, x: str, perm, hint: str) -> str:
+        return self.node("Transpose", [x], hint, perm=[int(p) for p in perm])
+
+    def matmul(self, a: str, b: str, hint: str) -> str:
+        return self.node("MatMul", [a, b], hint)
+
+    def slice(self, x: str, starts, ends, axes, hint: str) -> str:
+        mk = lambda suffix, v: self.init_tensor(
+            self.fresh(hint + suffix), np.asarray(v, np.int64)
+        )
+        return self.node(
+            "Slice",
+            [x, mk("_starts", starts), mk("_ends", ends), mk("_axes", axes)],
+            hint,
+        )
+
+    def concat(self, xs: List[str], axis: int, hint: str) -> str:
+        return self.node("Concat", xs, hint, axis=int(axis))
+
+    def softmax(self, x: str, axis: int, hint: str) -> str:
+        return self.node("Softmax", [x], hint, axis=int(axis))
+
+    def const(self, array: np.ndarray, hint: str) -> str:
+        return self.init_tensor(self.fresh(hint), np.asarray(array))
+
 
 def _np(tree, *path):
     node = tree
@@ -411,10 +447,13 @@ def convert_to_fp16(
         for i in n.inputs:
             consumers.setdefault(i, []).append(n.name)
 
-    # dtype category of every producible value: "f16" | "f32" | "other"
+    # dtype category of every producible value: "f16" | "f32" | "other".
+    # With keep_io_types=False the graph inputs are redeclared FLOAT16
+    # below, so they must be tracked as f16 here — otherwise an fp32-kept
+    # node consuming a graph input would get no Cast.
     cat: dict = {}
     for name, _elem, _shape in model.inputs:
-        cat[name] = "f32"
+        cat[name] = "f32" if keep_io_types else "f16"
     inits = []
     for t in model.initializers:
         if t.array.dtype == np.float32 and all(
@@ -524,6 +563,13 @@ def auto_mixed_precision(
         else:
             hi = mid
     if best is None:
-        fine, best = ok(lo)  # lo == 0: pure fp32 with IO casts — always passes
+        fine, best = ok(lo)  # lo == 0: pure fp32 with IO casts
+        if not fine:
+            # even the fp32 graph misses tolerance: bad probe/run_fn, not a
+            # precision boundary — surfacing beats returning a failing model
+            raise ValueError(
+                "auto_mixed_precision: fp32 baseline outside tolerance — "
+                "reference_output/run_fn disagree independent of precision"
+            )
     log(f"auto-mixed-precision: keeping {len(names) - lo} trailing nodes fp32")
     return best, lo

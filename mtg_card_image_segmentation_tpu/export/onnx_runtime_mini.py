@@ -134,6 +134,27 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, jax.Ar
             )
         elif t == "Softmax":
             out = jax.nn.softmax(ins[0], axis=int(a.get("axis", -1)))
+        elif t == "Reshape":
+            out = jnp.reshape(
+                ins[0], tuple(int(d) for d in np.asarray(model_init(model, node.inputs[1])))
+            )
+        elif t == "Transpose":
+            out = jnp.transpose(ins[0], tuple(a["perm"]))
+        elif t == "MatMul":
+            out = jnp.matmul(ins[0], ins[1])
+        elif t == "Sub":
+            out = ins[0] - ins[1]
+        elif t == "Slice":
+            starts = np.asarray(model_init(model, node.inputs[1]))
+            ends = np.asarray(model_init(model, node.inputs[2]))
+            axes = np.asarray(model_init(model, node.inputs[3]))
+            idx = [slice(None)] * ins[0].ndim
+            for s, e, ax in zip(starts, ends, axes):
+                dim = ins[0].shape[int(ax)]
+                idx[int(ax)] = slice(
+                    int(np.clip(s, -dim, dim)), int(np.clip(e, -dim, dim))
+                )
+            out = ins[0][tuple(idx)]
         else:
             raise NotImplementedError(f"op {t}")
         env[node.outputs[0]] = out

@@ -110,6 +110,26 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, np.nda
             out = F.max_pool2d(ins[0], k, s, (pads[0], pads[1]))
         elif t == "Softmax":
             out = F.softmax(ins[0], dim=int(a.get("axis", -1)))
+        elif t == "Reshape":
+            out = ins[0].reshape(
+                tuple(int(d) for d in env[node.inputs[1]].numpy())
+            )
+        elif t == "Transpose":
+            out = ins[0].permute(tuple(a["perm"]))
+        elif t == "MatMul":
+            out = torch.matmul(ins[0], ins[1])
+        elif t == "Sub":
+            out = ins[0] - ins[1]
+        elif t == "Slice":
+            starts = env[node.inputs[1]].numpy()
+            ends = env[node.inputs[2]].numpy()
+            axes = env[node.inputs[3]].numpy()
+            out = ins[0]
+            # the exporter only emits explicit in-bounds non-negative indices
+            for s, e, ax in zip(starts, ends, axes):
+                dim = out.shape[int(ax)]
+                start, end = int(s), int(min(e, dim))
+                out = out.narrow(int(ax), start, end - start)
         else:
             raise NotImplementedError(f"op {t}")
         env[node.outputs[0]] = out

@@ -238,6 +238,16 @@ class A2C2f(nn.Module):
         )
 
 
+def _kpt_bias_init(kpt_dim: int):
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.zeros(shape, dtype)
+        if kpt_dim == 3:
+            b = b.at[2::3].set(-4.595)
+        return b
+
+    return init
+
+
 class YOLO12PoseBackboneHead(nn.Module):
     """Full yolo12n-pose graph; returns per-level raw head outputs."""
 
@@ -302,7 +312,12 @@ class YOLO12PoseBackboneHead(nn.Module):
             k = ConvBNSiLU(c4, 3, name=f"kpt{li}_0", **kw)(feat, train)
             k = ConvBNSiLU(c4, 3, name=f"kpt{li}_1", **kw)(k, train)
             k = nn.Conv(nk, (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name=f"kpt{li}_2")(k)
+                        param_dtype=self.param_dtype, name=f"kpt{li}_2",
+                        # 1% prior on the per-corner confidence channels
+                        # (layout (K, kpt_dim) flattened, conf at index 2):
+                        # keeps the penalty-reduced focal's dense negative
+                        # term near zero from step 0.
+                        bias_init=_kpt_bias_init(self.kpt_dim))(k)
             outs.append(
                 jnp.concatenate(
                     [b.astype(jnp.float32), c.astype(jnp.float32), k.astype(jnp.float32)],
@@ -314,6 +329,12 @@ class YOLO12PoseBackboneHead(nn.Module):
 
 STRIDES = (8, 16, 32)
 
+# Keypoint head calibration (corner-heatmap decode, see decode_predictions):
+# predicted offsets are in units of KPT_OFFSET_SCALE *pixels* at every level,
+# so localization precision is level-independent (a 0.1 head-unit error is
+# 0.8 px whether the winning anchor is P3 or P5).
+KPT_OFFSET_SCALE = 8.0
+
 
 def decode_predictions(
     level_outputs: List[jax.Array],
@@ -321,9 +342,16 @@ def decode_predictions(
     num_keypoints: int = 4,
     kpt_dim: int = 3,
 ):
-    """Anchor-free decode: DFL expectation -> ltrb -> xyxy boxes; keypoint
-    decode (2*sigmoid-free ultralytics formula: (pred*2 + anchor - 0.5) *
-    stride); returns flattened (B, A, ...) boxes/scores/kpts."""
+    """Anchor-free decode: DFL expectation -> ltrb -> xyxy boxes.
+
+    Keypoints use a corner-heatmap decode rather than ultralytics' coarse
+    center-anchored regression ((pred*2 + anchor - 0.5) * stride, which at
+    stride 32 cannot express sub-5px precision — measured 7.03 px mean error
+    in round 2): each anchor predicts, per keypoint, a confidence logit
+    (trained toward a Gaussian of the anchor-to-corner distance in pixels)
+    and a *local* offset in KPT_OFFSET_SCALE-pixel units. Anchors near a
+    corner carry the evidence; :func:`top1_detection` picks the best anchor
+    per keypoint. Returns flattened (B, A, ...) boxes/scores/kpts."""
     boxes, scores, kpts = [], [], []
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
     for out, stride in zip(level_outputs, STRIDES):
@@ -342,8 +370,8 @@ def decode_predictions(
         y2 = (cy + dist[..., 3]) * stride
         boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1).reshape(b, h * w, 4))
         scores.append(jax.nn.sigmoid(cls).reshape(b, h * w, num_classes))
-        kx = (kpt[..., 0] * 2.0 + (cx[..., None] - 0.5)) * stride
-        ky = (kpt[..., 1] * 2.0 + (cy[..., None] - 0.5)) * stride
+        kx = cx[..., None] * stride + kpt[..., 0] * KPT_OFFSET_SCALE
+        ky = cy[..., None] * stride + kpt[..., 1] * KPT_OFFSET_SCALE
         kconf = jax.nn.sigmoid(kpt[..., 2]) if kpt_dim == 3 else jnp.ones_like(kx)
         kpts.append(
             jnp.stack([kx, ky, kconf], axis=-1).reshape(b, h * w, num_keypoints, 3)
@@ -356,13 +384,16 @@ def decode_predictions(
 
 
 def top1_detection(boxes, scores, kpts):
-    """max_det=1 decode (one card): best anchor across all levels."""
+    """max_det=1 decode (one card): the box comes from the best detection
+    anchor across all levels; each keypoint independently comes from the
+    anchor with the highest per-keypoint confidence (the corner-heatmap
+    argmax), whose local offset gives sub-pixel position."""
     conf = jnp.max(scores, axis=-1)  # (B, A)
     idx = jnp.argmax(conf, axis=-1)  # (B,)
-    take = lambda arr: jnp.take_along_axis(
-        arr, idx[:, None, *([None] * (arr.ndim - 2))], axis=1
-    )[:, 0]
-    return take(boxes), jnp.max(conf, axis=-1), take(kpts)
+    box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]
+    kidx = jnp.argmax(kpts[..., 2], axis=1)  # (B, K)
+    kp = jnp.take_along_axis(kpts, kidx[:, None, :, None], axis=1)[:, 0]
+    return box, jnp.max(conf, axis=-1), kp
 
 
 class YOLO12Pose(nn.Module):

@@ -27,6 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+AXIS_HOSTS = "hosts"
 AXIS_DATA = "data"
 AXIS_SPACE = "space"
 AXIS_MODEL = "model"
@@ -36,40 +37,53 @@ def make_mesh(
     data: int = -1,
     space: int = 1,
     model: int = 1,
+    hosts: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ``(data, space, model)`` mesh over the available devices.
+    """Build a ``(hosts, data, space, model)`` mesh over the available
+    devices.
+
+    ``hosts`` is the DCN axis for multi-host scale-out (SURVEY.md §2/§5):
+    pure data parallelism whose collectives ride the data-center network,
+    while ``data``/``space``/``model`` stay within a host's ICI domain.
+    Under ``jax.distributed`` (parallel/distributed.py) ``jax.devices()``
+    is the *global* device list ordered process-major, so reshaping with
+    ``hosts`` leading puts each process's local devices in one DCN slice —
+    gradient all-reduce lowers to (fast ICI reduce) + (one DCN all-reduce),
+    the scaling-book hybrid layout. Single-process meshes keep ``hosts=1``
+    and nothing changes.
 
     ``data=-1`` consumes all remaining devices. On a single chip this
-    degenerates to a 1x1x1 mesh and all shardings become no-ops, so the same
-    train step runs unchanged from 1 chip to a full pod slice.
+    degenerates to a 1x1x1x1 mesh and all shardings become no-ops, so the
+    same train step runs unchanged from 1 chip to a multi-host pod.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data == -1:
-        if n % (space * model) != 0:
+        if n % (hosts * space * model) != 0:
             raise ValueError(
-                f"{n} devices not divisible by space*model={space * model}"
+                f"{n} devices not divisible by "
+                f"hosts*space*model={hosts * space * model}"
             )
-        data = n // (space * model)
-    if data * space * model != n:
+        data = n // (hosts * space * model)
+    if hosts * data * space * model != n:
         raise ValueError(
-            f"mesh {data}x{space}x{model} != {n} available devices"
+            f"mesh {hosts}x{data}x{space}x{model} != {n} available devices"
         )
-    dev_array = np.asarray(devices).reshape(data, space, model)
-    return Mesh(dev_array, (AXIS_DATA, AXIS_SPACE, AXIS_MODEL))
+    dev_array = np.asarray(devices).reshape(hosts, data, space, model)
+    return Mesh(dev_array, (AXIS_HOSTS, AXIS_DATA, AXIS_SPACE, AXIS_MODEL))
 
 
 def batch_spec() -> P:
-    """PartitionSpec for NHWC image batches: batch over ``data``, H over
-    ``space``."""
-    return P(AXIS_DATA, AXIS_SPACE, None, None)
+    """PartitionSpec for NHWC image batches: batch over ``(hosts, data)``,
+    H over ``space``."""
+    return P((AXIS_HOSTS, AXIS_DATA), AXIS_SPACE, None, None)
 
 
 def mask_spec() -> P:
     """PartitionSpec for (B, H, W) integer masks."""
-    return P(AXIS_DATA, AXIS_SPACE, None)
+    return P((AXIS_HOSTS, AXIS_DATA), AXIS_SPACE, None)
 
 
 def replicated_spec() -> P:

@@ -47,23 +47,26 @@ def save_checkpoint(
     """Write checkpoint ``name`` (e.g. 'best_model', 'checkpoint_epoch_10',
     'final_model') under ``checkpoint_dir``.
 
-    Robust against leftovers of an interrupted save: both the final dir and
-    any stale ``<name>.orbax-checkpoint-tmp*`` dirs are removed first (a
-    stale tmp dir from a killed process makes orbax's atomic-rename step
-    fail with tensorstore NOT_FOUND errors), and the save is retried once
-    from a clean slate on failure."""
+    Crash-safe: the save goes to a sibling ``<name>.staging`` dir and the
+    existing checkpoint is only replaced after the new save fully succeeds
+    (write-then-swap), so a failed save can never destroy the previous
+    best_model. Stale staging/orbax-tmp leftovers of an interrupted save
+    are removed first (a stale tmp dir from a killed process makes orbax's
+    atomic-rename step fail with tensorstore NOT_FOUND errors), and the
+    save is retried once from a clean slate on failure."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    staging = path + ".staging"
     os.makedirs(checkpoint_dir, exist_ok=True)
     last_err: Optional[BaseException] = None
     for _ in range(retries + 1):
         for entry in os.listdir(checkpoint_dir):
-            if entry == name or (
+            if entry == name + ".staging" or (
                 entry.startswith(name + ".") and ".orbax-checkpoint-tmp" in entry
             ):
                 shutil.rmtree(os.path.join(checkpoint_dir, entry), ignore_errors=True)
         try:
             ckptr = ocp.StandardCheckpointer()
-            ckptr.save(path, _state_tree(state))
+            ckptr.save(staging, _state_tree(state))
             ckptr.wait_until_finished()
             last_err = None
             break
@@ -71,6 +74,10 @@ def save_checkpoint(
             last_err = e
     if last_err is not None:
         raise last_err
+    # swap: drop the old checkpoint only now that the new one is complete
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.rename(staging, path)
     meta = {
         "epoch": int(epoch),
         "best_metric": None if best_metric is None else float(best_metric),

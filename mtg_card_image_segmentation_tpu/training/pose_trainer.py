@@ -65,8 +65,12 @@ class ReduceLROnPlateau:
 class PoseTrainer:
     def __init__(self, cfg: Config, mesh=None) -> None:
         self.cfg = cfg
+        hosts = cfg.mesh.hosts
+        if hosts == 1 and jax.process_count() > 1:
+            hosts = jax.process_count()  # DCN axis defaults to one per host
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.mesh.data, space=cfg.mesh.space, model=cfg.mesh.model
+            data=cfg.mesh.data, space=cfg.mesh.space, model=cfg.mesh.model,
+            hosts=hosts,
         )
         self.log = setup_logger(log_dir=cfg.train.log_dir)
         self.steps_per_epoch = cfg.train.steps_per_epoch or max(

@@ -46,8 +46,12 @@ REFERENCE_TRAIN_IMAGES = 8800  # BASELINE.md dataset scale
 class SegTrainer:
     def __init__(self, cfg: Config, mesh=None, lr_scale: float = 1.0) -> None:
         self.cfg = cfg
+        hosts = cfg.mesh.hosts
+        if hosts == 1 and jax.process_count() > 1:
+            hosts = jax.process_count()  # DCN axis defaults to one per host
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=cfg.mesh.data, space=cfg.mesh.space, model=cfg.mesh.model
+            data=cfg.mesh.data, space=cfg.mesh.space, model=cfg.mesh.model,
+            hosts=hosts,
         )
         self.log = setup_logger(log_dir=cfg.train.log_dir)
         self.steps_per_epoch = cfg.train.steps_per_epoch or max(

@@ -10,8 +10,11 @@ padding — the reference's label converter, *_yolo12n/dataset.py:121-152):
 - classification: BCE with IoU-quality soft targets on positives;
 - box: CIoU on DFL-decoded boxes (positives);
 - DFL: cross-entropy on the two integer bins adjacent to each ltrb target;
-- keypoints: L2 on decoded kpt xy (normalized by box size) + BCE on kpt
-  confidence, positives only.
+- keypoints: corner-heatmap formulation — per-anchor per-corner confidence
+  trained with CornerNet penalty-reduced focal toward a pixel-space Gaussian
+  of the anchor-to-corner distance, plus Huber on local sub-pixel offsets
+  for anchors near the corner (replaces center-anchored regression, which
+  capped at 7 px mean error).
 
 Everything is dense masked math over the fixed anchor set — no dynamic
 shapes, single fused XLA program.
@@ -26,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mtg_card_image_segmentation_tpu.models.yolo12_pose import (
+    KPT_OFFSET_SCALE,
     REG_MAX,
     STRIDES,
     decode_predictions,
@@ -34,6 +38,9 @@ from mtg_card_image_segmentation_tpu.parallel.mesh import batch_spec, is_trivial
 from mtg_card_image_segmentation_tpu.training.state import SegTrainState
 
 TOP_K = 10
+# Corner-heatmap supervision (pixels; level-independent, see models/yolo12_pose.py)
+KPT_SIGMA_PX = 6.0
+KPT_RADIUS_PX = 12.0
 
 
 def corners_to_box(corners_xy: jax.Array, pad: float = 0.05) -> jax.Array:
@@ -169,25 +176,50 @@ def yolo_pose_loss(
         jnp.sum(jnp.mean(dfl, axis=-1) * posf, axis=1) / num_pos
     )
 
-    # --- keypoints on positives ---
-    gt_k = gt_corners[:, None, :, :]  # (B,1,K,2)
-    box_scale2 = jnp.maximum(
-        (gt_box[:, 2] - gt_box[:, 0]) * (gt_box[:, 3] - gt_box[:, 1]), 1.0
-    )[:, None]
-    d2 = jnp.sum((kpts_p[..., :2] - gt_k) ** 2, axis=-1)  # (B,A,K)
-    kpt_loss = jnp.mean(
-        jnp.sum(jnp.mean(1 - jnp.exp(-d2 / (2 * box_scale2[..., None] * 0.1)), axis=-1) * posf, axis=1)
-        / num_pos
-    )
-    kconf_logit = jnp.concatenate(
+    # --- keypoints: corner heatmap (focal) + local sub-pixel offsets ---
+    # Per (anchor, keypoint): confidence trained toward a Gaussian of the
+    # anchor-center-to-corner distance in *pixels* (sigma constant across
+    # levels, so the dense P3 grid always holds the peak and wins the decode
+    # argmax), offsets trained only on anchors within KPT_RADIUS_PX of the
+    # corner, in KPT_OFFSET_SCALE-pixel units (level-independent precision).
+    # This replaces center-anchored regression, whose stride-granular output
+    # capped round 2 at 7.03 px mean error / 39% acc@5px.
+    kpt_raw = jnp.concatenate(
         [
-            o[..., 4 * REG_MAX + 1 :].reshape(b, -1, num_keypoints, 3)[..., 2]
+            o[..., 4 * REG_MAX + 1 :].reshape(b, -1, num_keypoints, 3)
             for o in level_outputs
         ],
         axis=1,
+    )  # (B, A, K, 3) raw head outputs [dx, dy, conf]
+    dxy = gt_corners[:, None, :, :] - anchors[None, :, None, :2]  # (B,A,K,2)
+    d2k = jnp.sum(dxy**2, axis=-1)  # (B, A, K) px^2
+    t = jnp.exp(-d2k / (2.0 * KPT_SIGMA_PX**2))
+    logit = kpt_raw[..., 2]
+    p = jax.nn.sigmoid(logit)
+    # CornerNet penalty-reduced focal with soft Gaussian targets
+    # (https://arxiv.org/abs/1808.01244 eq. 1), stable via softplus.
+    focal = t * (1 - p) ** 2 * jax.nn.softplus(-logit) + (
+        (1 - t) ** 4 * p**2 * jax.nn.softplus(logit)
     )
-    kobj = optax_sigmoid_bce(kconf_logit, jnp.broadcast_to(posf[..., None], kconf_logit.shape))
-    kobj_loss = jnp.mean(jnp.sum(jnp.mean(kobj, axis=-1) * posf, axis=1) / num_pos)
+    kobj_loss = jnp.mean(
+        jnp.sum(focal, axis=(1, 2)) / (jnp.sum(t, axis=(1, 2)) + 1.0)
+    )
+
+    off_mask = (d2k < KPT_RADIUS_PX**2).astype(jnp.float32)
+    off_target = dxy / KPT_OFFSET_SCALE
+    off_err = kpt_raw[..., :2] - off_target
+    huber = jnp.sum(
+        jnp.where(
+            jnp.abs(off_err) < 1.0,
+            0.5 * off_err**2,
+            jnp.abs(off_err) - 0.5,
+        ),
+        axis=-1,
+    )
+    kpt_loss = jnp.mean(
+        jnp.sum(huber * off_mask, axis=(1, 2))
+        / (jnp.sum(off_mask, axis=(1, 2)) + 1e-6)
+    )
 
     total = (
         cls_weight * cls_loss

@@ -50,7 +50,7 @@ def test_config_json_roundtrip(tmp_path):
 
 
 def test_mesh_and_batch_sharding(mesh8):
-    assert mesh8.shape == {"data": 4, "space": 2, "model": 1}
+    assert mesh8.shape == {"hosts": 1, "data": 4, "space": 2, "model": 1}
     x = np.zeros((8, 32, 24, 3), np.float32)
     m = np.zeros((8, 32, 24), np.int32)
     xs, ms = shard_batch(mesh8, x, m)
@@ -61,4 +61,4 @@ def test_mesh_and_batch_sharding(mesh8):
 
 def test_mesh_single_device():
     mesh = make_mesh(devices=jax.devices()[:1])
-    assert mesh.shape == {"data": 1, "space": 1, "model": 1}
+    assert mesh.shape == {"hosts": 1, "data": 1, "space": 1, "model": 1}

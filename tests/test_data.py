@@ -341,3 +341,43 @@ def test_keep_in_frame_corners_visible():
     assert (c[..., 1] >= 0).all() and (c[..., 1] <= h - 1).all()
     # clean render path still yields valid card masks
     assert np.asarray(s.mask).sum() > 0
+
+
+def test_hdri_lighting_and_background(tmp_path):
+    """HDRI maps light the render (strength 0.8-1.5, random rotation — the
+    reference's world lighting, generate_synthetic.py:326-361) and join the
+    background pool. Two banks with different HDRIs must produce different
+    renders; the same bank+key must be deterministic."""
+    import cv2
+
+    from mtg_card_image_segmentation_tpu.data.synthetic import (
+        load_asset_bank,
+        synthetic_batch,
+    )
+
+    def make_bank(d, color):
+        d.mkdir()
+        hdr = np.zeros((32, 64, 3), np.float32)
+        hdr[..., color] = 3.0  # radiance > 1: exercises Reinhard tone-map
+        hdr[:, :32, :] *= 0.2  # horizontal structure so rotation matters
+        cv2.imwrite(str(d / "env.hdr"), hdr)
+        return load_asset_bank(None, None, hdri_dir=str(d))
+
+    bank_a = make_bank(tmp_path / "ha", 2)
+    bank_b = make_bank(tmp_path / "hb", 0)
+    assert bank_a.hdris.shape[0] == 1 and bank_a.hdri_light.shape[0] == 1
+    # tone-mapped to [0,1]; light field mean-normalized to ~1
+    assert float(bank_a.hdris.max()) <= 1.0
+    np.testing.assert_allclose(float(bank_a.hdri_light.mean()), 1.0, atol=1e-3)
+
+    key = jax.random.key(7)
+    sa = synthetic_batch(key, 2, 64, 64, 0.0, bank_a, 1.0)
+    sb_ = synthetic_batch(key, 2, 64, 64, 0.0, bank_b, 1.0)
+    s0 = synthetic_batch(key, 2, 64, 64, 0.0)
+    # HDRI content reaches the pixels: different environments -> different
+    # renders, and both differ from the procedural-only render
+    assert float(np.abs(np.asarray(sa.image) - np.asarray(sb_.image)).max()) > 0.01
+    assert float(np.abs(np.asarray(sa.image) - np.asarray(s0.image)).max()) > 0.01
+    # deterministic under the same bank + key
+    sa2 = synthetic_batch(key, 2, 64, 64, 0.0, bank_a, 1.0)
+    np.testing.assert_array_equal(np.asarray(sa.image), np.asarray(sa2.image))

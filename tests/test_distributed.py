@@ -1,0 +1,103 @@
+"""Multi-host scale-out (SURVEY.md:118-125, 376-379): jax.distributed over
+loopback with two CPU processes must produce the same train step as a
+single process — the DCN ``hosts`` axis is numerically transparent."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_reference():
+    """Same step as tests/_mp_worker.py on this process's 8-device mesh."""
+    import tiny  # noqa: F401
+
+    from mtg_card_image_segmentation_tpu.config import OptimizerConfig
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.parallel import make_mesh, shard_batch
+    from mtg_card_image_segmentation_tpu.training import (
+        create_optimizer,
+        create_seg_state,
+        make_train_step,
+    )
+
+    mesh = make_mesh(hosts=2, data=2, space=2)
+    model = create_model("tiny_seg")
+    tx, _ = create_optimizer(OptimizerConfig(), num_epochs=1, steps_per_epoch=1)
+    state = create_seg_state(model, tx, (1, 32, 32, 3), jax.random.key(0))
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((8, 32, 32, 3)).astype(np.float32)
+    masks = (images[..., 0] > 0).astype(np.int32)
+    images_d, masks_d = shard_batch(mesh, images, masks)
+    step = make_train_step(mesh=mesh, donate=False)
+    state, stats = step(state, images_d, masks_d)
+    checksum = float(
+        sum(
+            jnp.sum(jnp.abs(x.astype(jnp.float32)))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+    return float(stats["loss"]), checksum
+
+
+def test_two_process_step_matches_single_process():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    worker = os.path.join(REPO, "tests", "_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    results = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("MPRESULT ")]
+        assert line, out[-4000:]
+        results.append(json.loads(line[-1][len("MPRESULT "):]))
+
+    # both processes computed the same global step
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+    assert results[0]["checksum"] == pytest.approx(results[1]["checksum"], rel=1e-6)
+
+    ref_loss, ref_checksum = _single_process_reference()
+    assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-5)
+    assert results[0]["checksum"] == pytest.approx(ref_checksum, rel=1e-5)
+
+
+def test_process_shard_partitions():
+    from mtg_card_image_segmentation_tpu.parallel import distributed
+
+    items = list(range(10))
+    a = distributed.process_shard(items, index=0, count=3)
+    b = distributed.process_shard(items, index=1, count=3)
+    c = distributed.process_shard(items, index=2, count=3)
+    assert sorted(a + b + c) == items
+    assert a == [0, 3, 6, 9]

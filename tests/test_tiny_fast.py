@@ -211,3 +211,39 @@ def test_tiny_fold_bn_matches():
     folded = fold_batch_norm(variables["params"], variables["batch_stats"])
     out = folded_model.apply({"params": folded}, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_slim_parity_default_guard():
+    """Default-run guard of the slimming exactness invariant (the full
+    test_slim.py numeric-parity tests are -m slow only): expansion-prune ->
+    slim -> slim model output == masked model output, at tiny 64x48
+    geometry so it runs in the default suite."""
+    from mtg_card_image_segmentation_tpu.compression.slim import (
+        expansion_channel_prune,
+        param_count,
+        slim_seg_state,
+    )
+
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x, train=False))(jax.random.key(0))
+
+    pruned, _ = expansion_channel_prune(variables["params"], amount=0.3)
+    slim_params, slim_stats, overrides = slim_seg_state(
+        pruned, variables["batch_stats"]
+    )
+    slim_model = create_model(
+        "lraspp_mobilenet_v3_large", compute_dtype="float32",
+        expanded_overrides=overrides,
+    )
+    xr = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 64, 48, 3)), jnp.float32
+    )
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        {"params": pruned, "batch_stats": variables["batch_stats"]}, xr
+    )
+    got = jax.jit(lambda v, x: slim_model.apply(v, x, train=False))(
+        {"params": slim_params, "batch_stats": slim_stats}, xr
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    assert param_count(slim_params) < param_count(variables["params"])

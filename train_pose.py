@@ -23,7 +23,11 @@ def main() -> None:
 
     from mtg_card_image_segmentation_tpu.config import Config, pose_default_config
     from mtg_card_image_segmentation_tpu.data.pipeline import PoseSyntheticPipeline
+    from mtg_card_image_segmentation_tpu.parallel import distributed
     from mtg_card_image_segmentation_tpu.training.pose_trainer import PoseTrainer
+
+    # multi-host: no-op unless JAX_COORDINATOR/NPROC/PROC_ID are set
+    distributed.initialize()
 
     cfg = Config.from_json(args.config) if args.config else pose_default_config()
     if args.set:

@@ -36,7 +36,11 @@ def main() -> None:
     args = parser.parse_args()
 
     from mtg_card_image_segmentation_tpu.config import Config, default_config
+    from mtg_card_image_segmentation_tpu.parallel import distributed
     from mtg_card_image_segmentation_tpu.training.trainer import SegTrainer
+
+    # multi-host: no-op unless JAX_COORDINATOR/NPROC/PROC_ID are set
+    distributed.initialize()
 
     cfg = Config.from_json(args.config) if args.config else default_config()
     if args.set:
@@ -56,13 +60,14 @@ def main() -> None:
         from mtg_card_image_segmentation_tpu.data.preprocess import normalize_only
 
         assets = None
-        if cfg.data.texture_dir or cfg.data.background_dir:
+        if cfg.data.texture_dir or cfg.data.background_dir or cfg.data.hdri_dir:
             assets = load_asset_bank(
                 cfg.data.texture_dir or None, cfg.data.background_dir or None,
-                bg_hw=(h, w),
+                bg_hw=(h, w), hdri_dir=cfg.data.hdri_dir or None,
             )
             print(f"asset bank: {assets.textures.shape[0]} textures, "
-                  f"{assets.backgrounds.shape[0]} backgrounds")
+                  f"{assets.backgrounds.shape[0]} backgrounds, "
+                  f"{assets.hdris.shape[0]} HDRIs")
 
         train_iter = iter(
             SyntheticPipeline(

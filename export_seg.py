@@ -192,6 +192,16 @@ def main() -> None:
     print(f"model_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
 
+    # int8 QDQ export (BASELINE.json config #5 "bf16/int8 pipeline"):
+    # per-output-channel symmetric weight quantization + DequantizeLinear
+    from mtg_card_image_segmentation_tpu.export.quantize import convert_to_int8
+
+    int8_model = convert_to_int8(onnx_model)
+    int8_path = os.path.join(args.output_dir, "model_int8.onnx")
+    int8_model.save(int8_path)
+    print(f"model_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
+
     # state-dict export (train/export.py:246-280)
     flat = {}
 
@@ -280,8 +290,21 @@ def main() -> None:
             "fp16_mask_agreement": agree16, "fp16_pass": bool(ok16),
             "fp16_nodes": n_fp16, "total_nodes": len(onnx_model.nodes),
         }
+        # int8 gate: the quantized weights must preserve the class decision
+        # — pixel mask agreement >= 99.9% vs the fp32 graph (VERDICT r2 #6)
+        out8 = np.asarray(make_runner(op.Model.load(int8_path))(jnp.asarray(x_nchw)))
+        agree8 = float((out8.argmax(axis=1) == ref_mask).mean())
+        dp8 = float(np.abs(_probs(out8) - ref_probs).max())
+        ok8 = agree8 >= 0.999
+        print(f"int8 parity: prob max|diff|={dp8:.2e} "
+              f"mask agreement={agree8:.6f} (>= 0.999) {'PASS' if ok8 else 'FAIL'}")
+        parity.update({
+            "int8_prob_max_abs_diff": dp8,
+            "int8_mask_agreement": agree8,
+            "int8_pass": bool(ok8),
+        })
         prec_ctx.__exit__(None, None, None)
-        if not (ok32 and ok16):
+        if not (ok32 and ok16 and ok8):
             raise SystemExit("parity gate FAILED")
         parity.update(_independent_checks(fp32_path, x_nchw, ref_nchw, "output"))
 

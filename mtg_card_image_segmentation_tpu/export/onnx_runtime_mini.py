@@ -144,6 +144,13 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, jax.Ar
             out = jnp.matmul(ins[0], ins[1])
         elif t == "Sub":
             out = ins[0] - ins[1]
+        elif t == "DequantizeLinear":
+            axis = int(a.get("axis", 1))
+            scale = ins[1]
+            shape = [1] * ins[0].ndim
+            shape[axis] = -1
+            zp = ins[2].astype(jnp.float32) if len(ins) > 2 and ins[2] is not None else 0.0
+            out = (ins[0].astype(jnp.float32) - zp) * scale.reshape(shape)
         elif t == "Slice":
             starts = np.asarray(model_init(model, node.inputs[1]))
             ends = np.asarray(model_init(model, node.inputs[2]))

@@ -120,6 +120,12 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, np.nda
             out = torch.matmul(ins[0], ins[1])
         elif t == "Sub":
             out = ins[0] - ins[1]
+        elif t == "DequantizeLinear":
+            axis = int(a.get("axis", 1))
+            shape = [1] * ins[0].ndim
+            shape[axis] = -1
+            zp = ins[2].to(torch.float32) if len(ins) > 2 and ins[2] is not None else 0.0
+            out = (ins[0].to(torch.float32) - zp) * ins[1].reshape(shape)
         elif t == "Slice":
             starts = env[node.inputs[1]].numpy()
             ends = env[node.inputs[2]].numpy()

@@ -130,11 +130,20 @@ def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS):
         # take the XLA path for those blocks (the Pallas kernel's tiling
         # assumes the table widths)
         exp_eff = int(p_blk["depthwise"]["conv"]["kernel"].shape[-1])
+        fused_ok = False
         if i in fused_ids and exp_eff == exp:
-            x = fused_inverted_residual(
-                x, p_blk, kernel_size=k, stride=eff_stride, act=act,
-                residual=(eff_stride == 1 and cin == out), dilation=dilation,
-            )
+            try:
+                x_f = fused_inverted_residual(
+                    x, p_blk, kernel_size=k, stride=eff_stride, act=act,
+                    residual=(eff_stride == 1 and cin == out), dilation=dilation,
+                )
+                fused_ok = True
+            except ValueError:
+                # no valid (batch, h*w) tiling at this operating point —
+                # this block stays on the XLA path
+                fused_ok = False
+        if fused_ok:
+            x = x_f
         else:
             blk = InvertedResidual(
                 expanded=exp_eff, out_features=out, kernel=k, stride=stride,
@@ -198,8 +207,31 @@ def _head_score_s8(head_params, low, high, dtype):
     return hs + ls + (b_hi_d + b_lo_d)
 
 
+def _dequant_jax(tree, dtype):
+    """In-jit dequantization of a quantize_params tree: int8 kernels + per-
+    channel scales -> dense ``dtype`` kernels. XLA fuses the multiply into
+    the weight load; kernels live in HBM as int8 (4x smaller)."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k == "kernel_q":
+            out["kernel"] = (v.astype(jnp.float32) * tree["kernel_scale"]).astype(dtype)
+        elif k == "kernel_scale":
+            continue
+        else:
+            out[k] = _dequant_jax(v, dtype)
+    return out
+
+
 class SegPredictor:
-    """predict(uint8 images) -> uint8 masks, all fused on device."""
+    """predict(uint8 images) -> uint8 masks, all fused on device.
+
+    ``quantize="int8"``: per-output-channel symmetric weight quantization
+    (export/quantize.py) — kernels stored int8 in HBM, dequantized on the
+    fly inside the jitted program. Gate the deployment on
+    :meth:`mask_agreement` >= 0.999 vs an unquantized predictor.
+    """
 
     def __init__(
         self,
@@ -210,26 +242,45 @@ class SegPredictor:
         use_pallas: bool = True,
         dtype=jnp.bfloat16,
         fused_blocks=FUSED_BLOCKS,
+        quantize: Optional[str] = None,
     ) -> None:
         folded = fold_batch_norm(params, batch_stats)
         if use_pallas:
             folded = _fold_normalize_into_stem(folded)
-        self._params = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+        if quantize == "int8":
+            from mtg_card_image_segmentation_tpu.export.quantize import (
+                quantize_params,
+            )
+
+            qtree = quantize_params(jax.tree.map(np.asarray, folded))
+
+            def put(a):
+                a = np.asarray(a)
+                if a.dtype == np.int8:  # quantized kernels stay int8 in HBM
+                    return jnp.asarray(a)
+                if a.ndim == 1 and a.dtype == np.float32:  # scales/biases
+                    return jnp.asarray(a, jnp.float32)
+                return jnp.asarray(a, dtype)
+
+            self._params = jax.tree.map(put, qtree)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        else:
+            self._params = jax.tree.map(lambda a: jnp.asarray(a, dtype), folded)
+        self._quantize = quantize
         self.height, self.width = height, width
 
-        # the fused inverted-residual kernel flattens the stride-16 spatial
-        # grid into the sublane dimension; Mosaic rejects the shape cast
-        # when H/16 * W/16 isn't a multiple of 8 (e.g. 320x240 -> 20*15=300).
-        # Those operating points take the XLA path for the tail blocks —
-        # the rest of the fused pipeline (stem-folded normalize, collapsed
-        # head, fused mask decode) is shape-agnostic.
-        if ((height // 16) * (width // 16)) % 8 != 0:
-            fused_blocks = ()
+        # non-lane-aligned operating points (e.g. 320x240: H/16*W/16 = 300)
+        # are handled inside fused_inverted_residual by batching images per
+        # grid step until bt*h*w % 8 == 0; blocks with no valid tiling fall
+        # back to XLA per-block in _fused_backbone.
 
         if use_pallas:
 
             @jax.jit
             def predict(p, images_u8):
+                if quantize == "int8":
+                    p = _dequant_jax(p, dtype)
                 # normalization is folded into the stem weights; feed the
                 # mean-centered image (so zero padding == ImageNet zero)
                 center = jnp.asarray(255.0 * _IMAGENET_MEAN, jnp.float32)
@@ -243,6 +294,8 @@ class SegPredictor:
 
             @jax.jit
             def predict(p, images_u8):
+                if quantize == "int8":
+                    p = _dequant_jax(p, dtype)
                 x = (images_u8.astype(jnp.float32) / 255.0).astype(dtype)
                 mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
                 std = jnp.asarray([0.229, 0.224, 0.225], dtype)
@@ -278,3 +331,10 @@ class SegPredictor:
         """(B, H, W, 3) uint8 (already at model resolution) -> (B, H, W)
         uint8 {0,1} masks."""
         return self._predict(self._params, jnp.asarray(images_u8))
+
+    def mask_agreement(self, other: "SegPredictor", images_u8) -> float:
+        """Fraction of pixels whose class decision matches ``other`` — the
+        int8 deployment gate (>= 0.999 vs the bf16 predictor)."""
+        a = np.asarray(self.predict(images_u8))
+        b = np.asarray(other.predict(images_u8))
+        return float((a == b).mean())

@@ -110,3 +110,56 @@ def test_demo_build_pipeline(tmp_path):
     assert gz == bundle
     html = (out / "index.html").read_text()
     assert "bundle.min.js" in html and "src/app.js" not in html
+
+
+def test_int8_quantize_roundtrip():
+    """Per-channel int8 weight quantization: rel error bounded by the 127-
+    level grid, dequantize_params inverts quantize_params' layout."""
+    from mtg_card_image_segmentation_tpu.export.quantize import (
+        dequantize_params,
+        quantize_params,
+    )
+
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": {"conv": {"kernel": rng.standard_normal((3, 3, 16, 32)).astype(np.float32),
+                        "bias": rng.standard_normal(32).astype(np.float32)}},
+        "tiny": {"kernel": rng.standard_normal((1, 1, 2, 2)).astype(np.float32)},
+    }
+    q = quantize_params(tree)
+    assert q["a"]["conv"]["kernel_q"].dtype == np.int8
+    assert q["a"]["conv"]["kernel_scale"].shape == (32,)
+    assert "kernel" in q["tiny"]  # below min_size: untouched
+    d = dequantize_params(q)
+    w, w2 = tree["a"]["conv"]["kernel"], d["a"]["conv"]["kernel"]
+    # symmetric 127-level grid: |err| <= scale/2 per channel
+    scale = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    assert (np.abs(w - w2) <= scale / 2 + 1e-7).all()
+    np.testing.assert_array_equal(d["a"]["conv"]["bias"], tree["a"]["conv"]["bias"])
+
+
+def test_int8_predictor_agreement():
+    """SegPredictor int8 weight mode: kernels live as int8, masks agree with
+    the unquantized predictor (the >=0.999 deployment gate; random-init
+    weights sit closer to the decision boundary than trained ones, so the
+    test floor is 0.99)."""
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.serving.predictor import SegPredictor
+
+    h, w = 64, 48
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    variables = jax.jit(lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False))(
+        jax.random.key(0)
+    )
+    kw = dict(use_pallas=False, dtype=jnp.float32)
+    base = SegPredictor(variables["params"], variables["batch_stats"], h, w, **kw)
+    q = SegPredictor(
+        variables["params"], variables["batch_stats"], h, w,
+        quantize="int8", **kw,
+    )
+    # int8 kernels actually present on device
+    leaves = jax.tree_util.tree_leaves(q._params)
+    assert any(x.dtype == jnp.int8 for x in leaves)
+    images = np.random.default_rng(1).integers(0, 256, (4, h, w, 3), np.uint8)
+    agreement = q.mask_agreement(base, images)
+    assert agreement >= 0.99, agreement

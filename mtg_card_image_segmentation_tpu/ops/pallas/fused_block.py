@@ -40,18 +40,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift2d(x: jax.Array, dy: int, dx: int) -> jax.Array:
-    """Shift (H, W, C) by (dy, dx) with zero fill — out[i, j] = x[i+dy, j+dx].
+    """Shift (..., H, W, C) over the H/W axes by (dy, dx) with zero fill —
+    out[..., i, j, :] = x[..., i+dy, j+dx, :].
 
     Implemented with static slice + concat (Mosaic's rotate only supports
     32-bit data; slices/concats work for bf16 too)."""
+    ha, wa = x.ndim - 3, x.ndim - 2
+    idx = [slice(None)] * x.ndim
+
+    def cut(arr, axis, sl):
+        s = list(idx)
+        s[axis] = sl
+        return arr[tuple(s)]
+
     if dy > 0:
-        x = jnp.concatenate([x[dy:], jnp.zeros_like(x[:dy])], axis=0)
+        x = jnp.concatenate(
+            [cut(x, ha, slice(dy, None)), jnp.zeros_like(cut(x, ha, slice(0, dy)))],
+            axis=ha,
+        )
     elif dy < 0:
-        x = jnp.concatenate([jnp.zeros_like(x[dy:]), x[:dy]], axis=0)
+        x = jnp.concatenate(
+            [jnp.zeros_like(cut(x, ha, slice(dy, None))), cut(x, ha, slice(0, dy))],
+            axis=ha,
+        )
     if dx > 0:
-        x = jnp.concatenate([x[:, dx:], jnp.zeros_like(x[:, :dx])], axis=1)
+        x = jnp.concatenate(
+            [cut(x, wa, slice(dx, None)), jnp.zeros_like(cut(x, wa, slice(0, dx)))],
+            axis=wa,
+        )
     elif dx < 0:
-        x = jnp.concatenate([jnp.zeros_like(x[:, dx:]), x[:, :dx]], axis=1)
+        x = jnp.concatenate(
+            [jnp.zeros_like(cut(x, wa, slice(dx, None))), cut(x, wa, slice(0, dx))],
+            axis=wa,
+        )
     return x
 
 
@@ -63,16 +84,15 @@ def _act(x: jax.Array, name: Optional[str]) -> jax.Array:
     return x
 
 
-def _make_kernel(h: int, w: int, k: int, stride: int, act: str,
+def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
                  has_expand: bool, has_se: bool, residual: bool,
                  dilation: int = 1):
-    pad = (k - 1) // 2 * dilation
     offsets = [
         (dy * dilation, dx * dilation)
         for dy in range(-(k - 1) // 2, (k - 1) // 2 + 1)
         for dx in range(-(k - 1) // 2, (k - 1) // 2 + 1)
     ]
-    del pad  # torch pad=(k-1)//2*dilation keeps H/W: shifts cover it exactly
+    # torch pad=(k-1)//2*dilation keeps H/W: the shifts cover it exactly
 
     def kernel(*refs):
         i = 0
@@ -86,65 +106,99 @@ def _make_kernel(h: int, w: int, k: int, stride: int, act: str,
         out_ref = refs[i]
 
         # expanded path runs in bf16 to fit VMEM (whole-image residency);
-        # matmuls still accumulate fp32 on the MXU
-        x = x_ref[0]  # (H, W, Cin)
+        # matmuls still accumulate fp32 on the MXU. ``bt`` images per grid
+        # step: amortizes per-step DMA/launch overhead (at 32x32 tail maps a
+        # per-image grid spends more time stepping than computing) and makes
+        # the flattened (bt*h*w) sublane dim a multiple of 8 at operating
+        # points where h*w alone is not (e.g. 320x240 -> 300).
+        x = x_ref[:]  # (bt, H, W, Cin)
         if has_expand:
             y = jnp.dot(
-                x.reshape(h * w, -1).astype(jnp.bfloat16),
+                x.reshape(bt * h * w, -1).astype(jnp.bfloat16),
                 w_exp_ref[:].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ) + b_exp_ref[:]
-            y = _act(y, act).reshape(h, w, -1).astype(jnp.bfloat16)
+            y = _act(y, act).reshape(bt, h, w, -1).astype(jnp.bfloat16)
         else:
             y = x.astype(jnp.bfloat16)
 
         # depthwise kxk stencil at full resolution (bf16 terms, fp32 acc)
         acc = None
         for idx, (dy, dx) in enumerate(offsets):
-            term = _shift2d(y, dy, dx) * w_dw_ref[idx][None, None, :].astype(jnp.bfloat16)
+            term = _shift2d(y, dy, dx) * w_dw_ref[idx][None, None, None, :].astype(jnp.bfloat16)
             term = term.astype(jnp.float32)
             acc = term if acc is None else acc + term
         if stride == 2:
             # Mosaic supports neither [::2] gathers nor strided slices;
             # decimate via reshape + iota-masked sum (constants can't be
             # closure-captured in pallas kernels, so build the mask in-kernel)
-            hh, ww, cc = acc.shape
-            r = acc.reshape(hh // 2, 2, ww, cc)
-            keep = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1) == 0
-            acc = jnp.where(keep, r, 0.0).sum(1)
-            r = acc.reshape(hh // 2, ww // 2, 2, cc)
+            bb, hh, ww, cc = acc.shape
+            r = acc.reshape(bb, hh // 2, 2, ww, cc)
             keep = jax.lax.broadcasted_iota(jnp.int32, r.shape, 2) == 0
             acc = jnp.where(keep, r, 0.0).sum(2)
-        y = _act(acc + b_dw_ref[:][None, None, :], act).astype(jnp.bfloat16)
+            r = acc.reshape(bb, hh // 2, ww // 2, 2, cc)
+            keep = jax.lax.broadcasted_iota(jnp.int32, r.shape, 3) == 0
+            acc = jnp.where(keep, r, 0.0).sum(3)
+        y = _act(acc + b_dw_ref[:][None, None, None, :], act).astype(jnp.bfloat16)
 
         if has_se:
-            s = jnp.mean(y.astype(jnp.float32), axis=(0, 1))  # (Cexp,)
+            # per-image gate: mean over each image's spatial grid
+            s = jnp.mean(y.astype(jnp.float32), axis=(1, 2))  # (bt, Cexp)
             s = jnp.maximum(
-                jnp.dot(s[None, :], w1_ref[:].astype(jnp.float32),
-                        preferred_element_type=jnp.float32)[0] + b1_ref[:], 0.0)
-            s = jnp.dot(s[None, :], w2_ref[:].astype(jnp.float32),
-                        preferred_element_type=jnp.float32)[0] + b2_ref[:]
+                jnp.dot(s, w1_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32) + b1_ref[:], 0.0)
+            s = jnp.dot(s, w2_ref[:].astype(jnp.float32),
+                        preferred_element_type=jnp.float32) + b2_ref[:]
             s = jnp.clip(s + 3.0, 0.0, 6.0) / 6.0
-            y = y * s[None, None, :].astype(jnp.bfloat16)
+            y = y * s[:, None, None, :].astype(jnp.bfloat16)
 
-        oh, ow = y.shape[0], y.shape[1]
+        oh, ow = y.shape[1], y.shape[2]
         out = jnp.dot(
-            y.reshape(oh * ow, -1).astype(jnp.bfloat16),
+            y.reshape(bt * oh * ow, -1).astype(jnp.bfloat16),
             w_proj_ref[:].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ) + b_proj_ref[:]
-        out = out.reshape(oh, ow, -1)
+        out = out.reshape(bt, oh, ow, -1)
         if residual:
             out = out + x.astype(jnp.float32)
-        out_ref[0] = out.astype(out_ref.dtype)
+        out_ref[:] = out.astype(out_ref.dtype)
 
     return kernel
+
+
+def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
+                          cout: int) -> int:
+    """Largest divisor of ``b`` (<= 16) whose VMEM working set fits and
+    whose flattened sublane count bt*h*w is a multiple of 8. Fewer grid
+    steps = less per-step overhead; the expanded map + fp32 stencil
+    accumulator dominate the footprint."""
+    budget = 72 * 1024 * 1024  # leave headroom under the 100MB scoped limit
+    if w % 8 != 0:
+        # Mosaic's shape cast can only collapse the spatial dims into the
+        # sublane axis when the second-minor dim is sublane-aligned
+        # (measured: (8,20,15,672)->(2400,672) rejected, w=32 fine)
+        return 0
+    for bt in (16, 8, 4, 2, 1):
+        if b % bt != 0:
+            continue
+        if (bt * h * w) % 8 != 0:
+            continue
+        bytes_needed = bt * h * w * (
+            2 * cexp  # expanded bf16
+            + 4 * cexp  # fp32 stencil accumulator
+            + 2 * cexp  # shifted term temp
+            + 2 * cin + 4 * cout  # input + output
+        )
+        if bytes_needed <= budget:
+            return bt
+    return 0  # no valid tiling (caller falls back to XLA)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "kernel_size", "stride", "act", "residual", "dilation", "interpret",
+        "images_per_step",
     ),
 )
 def fused_inverted_residual(
@@ -156,6 +210,7 @@ def fused_inverted_residual(
     residual: bool = False,
     dilation: int = 1,
     interpret: bool = False,
+    images_per_step: Optional[int] = None,
 ) -> jax.Array:
     """Run one folded inverted-residual block as a single fused kernel.
 
@@ -163,6 +218,11 @@ def fused_inverted_residual(
     models.layers.InvertedResidual: {"expand"?: {"conv": {kernel, bias}},
     "depthwise": {...}, "se"?: {"fc1": {...}, "fc2": {...}},
     "project": {...}} (HWIO kernels).
+
+    The grid processes ``images_per_step`` images per step (auto-chosen to
+    fit VMEM and align the flattened sublane dim; see
+    :func:`_pick_images_per_step`). Raises ValueError when no valid tiling
+    exists — callers keep those blocks on the XLA path.
     """
     b, h, w, cin = x.shape
     has_expand = "expand" in params
@@ -170,10 +230,15 @@ def fused_inverted_residual(
     cexp = params["depthwise"]["conv"]["kernel"].shape[-1]
     cout = params["project"]["conv"]["kernel"].shape[-1]
     oh, ow = h // stride, w // stride
+    bt = images_per_step or _pick_images_per_step(b, h, w, cin, cexp, cout)
+    if bt == 0 or b % bt != 0 or (bt * h * w) % 8 != 0:
+        raise ValueError(
+            f"no valid fused tiling for shape {x.shape} (bt={bt})"
+        )
 
     inputs = [x]
     in_specs = [
-        pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     ]
 
     def add_mat(arr):
@@ -197,15 +262,15 @@ def fused_inverted_residual(
     add_mat(params["project"]["conv"]["bias"])
 
     use_residual = residual and stride == 1 and cin == cout
-    kernel = _make_kernel(h, w, kernel_size, stride, act, has_expand, has_se,
-                          use_residual, dilation)
+    kernel = _make_kernel(bt, h, w, kernel_size, stride, act, has_expand,
+                          has_se, use_residual, dilation)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), x.dtype),
-        grid=(b,),
+        grid=(b // bt,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, oh, ow, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (bt, oh, ow, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         # whole-image VMEM residency needs headroom beyond the default 16MB
         # scoped limit (v5e has 128MB of physical VMEM... scoped stack only);

@@ -334,6 +334,9 @@ STRIDES = (8, 16, 32)
 # so localization precision is level-independent (a 0.1 head-unit error is
 # 0.8 px whether the winning anchor is P3 or P5).
 KPT_OFFSET_SCALE = 8.0
+# two decoded corners closer than this are considered the same physical
+# corner during joint decode (card corners are >=100 px apart at 640)
+KPT_COLLISION_PX = 24.0
 
 
 def decode_predictions(
@@ -387,12 +390,56 @@ def top1_detection(boxes, scores, kpts):
     """max_det=1 decode (one card): the box comes from the best detection
     anchor across all levels; each keypoint independently comes from the
     anchor with the highest per-keypoint confidence (the corner-heatmap
-    argmax), whose local offset gives sub-pixel position."""
+    argmax), whose local offset gives sub-pixel position.
+
+    (Box-gating the keypoint argmax was measured a no-op — the failure
+    mode is corner-identity confusion *on* the card, handled by the joint
+    decode + canonical reordering below, not far-field peaks.)"""
     conf = jnp.max(scores, axis=-1)  # (B, A)
     idx = jnp.argmax(conf, axis=-1)  # (B,)
-    box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]
-    kidx = jnp.argmax(kpts[..., 2], axis=1)  # (B, K)
-    kp = jnp.take_along_axis(kpts, kidx[:, None, :, None], axis=1)[:, 0]
+    box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # (B,4)
+    kconf = kpts[..., 2]
+    # Joint decode over the top-2 candidates per corner channel: a corner
+    # channel sometimes double-picks another corner's peak (the card's four
+    # corners look alike), leaving one corner unplaced. Enumerate all 2^K
+    # candidate assignments and score sum(conf) minus a collision penalty
+    # for any two corners closer than KPT_COLLISION_PX — the best
+    # non-colliding assignment wins. K=4 -> 16 combos, fully batched.
+    c2, i2 = jax.lax.top_k(jnp.swapaxes(kconf, 1, 2), 2)  # (B, K, 2)
+    k_dim = kpts.shape[2]
+    # gather candidate xy/conf per (channel, rank): kpts is (B, A, K, 3)
+    flat = jnp.swapaxes(kpts, 1, 2)  # (B, K, A, 3)
+    cand = jnp.take_along_axis(flat, i2[..., None], axis=2)  # (B, K, 2, 3)
+    combos = jnp.asarray(
+        [[(c >> k) & 1 for k in range(k_dim)] for c in range(2**k_dim)]
+    )  # (16, K) rank choice per channel
+    pick = cand[:, jnp.arange(k_dim)[None, :], combos, :]  # (B, 16, K, 3)
+    conf_sum = jnp.sum(c2[:, jnp.arange(k_dim)[None, :], combos], axis=-1)
+    d2 = jnp.sum(
+        (pick[..., None, :, :2] - pick[..., :, None, :2]) ** 2, axis=-1
+    )  # (B, 16, K, K)
+    eye = jnp.eye(k_dim, dtype=bool)
+    collide = (d2 < KPT_COLLISION_PX**2) & ~eye
+    penalty = jnp.sum(collide, axis=(-1, -2)).astype(jnp.float32) * 10.0
+    best = jnp.argmax(conf_sum - penalty, axis=1)  # (B,)
+    kp = jnp.take_along_axis(
+        pick, best[:, None, None, None], axis=1
+    )[:, 0]  # (B, K, 3)
+    # Corner identity is position-canonical (TL,TR,BR,BL *in the image* —
+    # the reference derives labels from masks, preprocess_masks.py:196-223),
+    # but a 180-degree-rotated card puts TL-looking texture at BR, so the
+    # per-channel heatmaps occasionally swap identities (~2% of corners).
+    # Re-sorting the four decoded points into canonical image order repairs
+    # every pure swap and is the identity on already-ordered predictions.
+    ctr = jnp.mean(kp[..., :2], axis=1, keepdims=True)
+    ang = jnp.arctan2(
+        kp[..., 1] - ctr[..., 1], kp[..., 0] - ctr[..., 0]
+    )  # (B, K)
+    order = jnp.argsort(ang, axis=1)
+    pts = jnp.take_along_axis(kp, order[..., None], axis=1)
+    start = jnp.argmin(jnp.sum(pts[..., :2], axis=-1), axis=1)  # (B,)
+    roll = (start[:, None] + jnp.arange(kp.shape[1])[None, :]) % kp.shape[1]
+    kp = jnp.take_along_axis(pts, roll[..., None], axis=1)
     return box, jnp.max(conf, axis=-1), kp
 
 

@@ -65,6 +65,7 @@ class SegEvaluator:
         cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
         ious: List[float] = []
         failures: List[Dict] = []
+        failure_arrays: List[Tuple] = []
         sample_panels = None
 
         for batch_idx, batch in enumerate(batches):
@@ -91,6 +92,18 @@ class SegEvaluator:
                         "index_in_batch": int(i),
                         "iou": float(per_iou[i]),
                     }
+                )
+                # keep the arrays so the mined failures are *viewable*
+                # (train/evaluate.py:240-295 saves failure-case images; the
+                # de-facto QA loop is looking at them)
+                failure_arrays.append(
+                    (
+                        np.asarray(images[int(i)]),
+                        np.asarray(masks[int(i)]),
+                        np.asarray(preds[int(i)]),
+                        np.asarray(conf[int(i)]),
+                        float(per_iou[i]),
+                    )
                 )
             if sample_panels is None:
                 sample_panels = (
@@ -123,6 +136,18 @@ class SegEvaluator:
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
+            if failure_arrays:
+                # image/GT/pred/confidence panel per mined failure
+                # (train/evaluate.py:240-295)
+                fdir = os.path.join(output_dir, "failures")
+                os.makedirs(fdir, exist_ok=True)
+                for rank, (img, msk, prd, cnf, iou) in enumerate(failure_arrays):
+                    path = plots_lib.plot_predictions(
+                        img[None], msk[None], prd[None],
+                        os.path.join(fdir, f"failure_{rank:02d}_iou{iou:.3f}.png"),
+                        confidences=cnf[None],
+                    )
+                    failures[rank]["panel"] = os.path.relpath(path, output_dir)
             with open(os.path.join(output_dir, "evaluation_report.json"), "w") as f:
                 json.dump(report, f, indent=2)
             if save_plots:

@@ -57,6 +57,32 @@ def test_seg_evaluator_failure_mining():
     assert not report["targets"]["iou_card>0.85"]
 
 
+def test_seg_evaluator_failure_panels(tmp_path):
+    """Mined failures are saved as viewable image/GT/pred/confidence panels
+    (train/evaluate.py:240-295 failure-case images)."""
+
+    class BadModel:
+        def apply(self, variables, images, train=False):
+            b = jnp.ones(images.shape[:-1])
+            return jnp.stack([b, -b], axis=-1)
+
+    rng = np.random.default_rng(2)
+    images = rng.uniform(0, 1, (3, 8, 8, 3)).astype(np.float32)
+    masks = np.ones((3, 8, 8), np.int32)
+    ev = SegEvaluator(BadModel().apply, {}, 2)
+    report = ev.evaluate(
+        [(jnp.asarray(images), jnp.asarray(masks))], output_dir=str(tmp_path)
+    )
+    assert len(report["failures"]) == 3
+    for f in report["failures"]:
+        panel = tmp_path / f["panel"]
+        assert panel.is_file() and panel.stat().st_size > 1000
+        assert "failures/" in f["panel"]
+    # the written report carries the panel paths too
+    data = json.loads((tmp_path / "evaluation_report.json").read_text())
+    assert all("panel" in f for f in data["failures"])
+
+
 def test_pose_evaluator_report(tmp_path):
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm
 

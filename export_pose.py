@@ -86,6 +86,11 @@ def main() -> None:
         folded, input_hw=(h, w), heatmap_hw=(hm_h, hm_w),
         num_keypoints=k, opset=19,
     )
+    from mtg_card_image_segmentation_tpu.export.onnx_optimize import optimize
+
+    opt_stats = optimize(onnx_model)  # verified by the parity gates below
+    if sum(opt_stats.values()):
+        print(f"graph optimization: {opt_stats}")
     os.makedirs(args.output_dir, exist_ok=True)
     fp32_path = os.path.join(args.output_dir, "pose.onnx")
     onnx_model.save(fp32_path)

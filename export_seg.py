@@ -181,6 +181,15 @@ def main() -> None:
         folded, input_hw=(h, w), num_classes=cfg.model.num_classes,
         inter_channels=cfg.model.inter_channels, opset=cfg.export.opset,
     )
+    # graph-optimization pass (train/export.py:102-129 runs onnxoptimizer);
+    # downstream fp16/int8 conversions and every parity gate below see the
+    # optimized graph, so the simplification is itself verified
+    from mtg_card_image_segmentation_tpu.export.onnx_optimize import optimize
+
+    opt_stats = optimize(onnx_model)
+    n_opt = sum(opt_stats.values())
+    if n_opt:
+        print(f"graph optimization: {opt_stats}")
     os.makedirs(args.output_dir, exist_ok=True)
     fp32_path = os.path.join(args.output_dir, "model.onnx")
     onnx_model.save(fp32_path)
@@ -319,6 +328,7 @@ def main() -> None:
         "opset": cfg.export.opset,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),
+        "graph_optimization": opt_stats,
         "parity": parity,
     }
     with open(os.path.join(args.output_dir, "model_info.json"), "w") as f:

@@ -91,3 +91,22 @@ def test_yolo_export_fp16_parity(yolo_export):
     )
     # fp16 gate: score/conf rows within 1e-2 abs; pixel rows within 1 px
     np.testing.assert_allclose(out, expected, rtol=1e-2, atol=1.0)
+
+
+def test_yolo_optimized_graph_parity(yolo_export):
+    """Graph-optimization (export/onnx_optimize.py, run by export_yolo.py)
+    preserves the YOLO op set (SiLU, attention matmuls, Resize, Split,
+    DFL) bit-exactly through the mini executor."""
+    import copy
+
+    from mtg_card_image_segmentation_tpu.export.onnx_optimize import optimize
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import run_model
+
+    onnx_model, x_nchw, expected = yolo_export
+    m = copy.deepcopy(onnx_model)
+    ref = np.asarray(run_model(m, {"input": x_nchw})["output0"])
+    n_before = len(m.nodes)
+    optimize(m)
+    got = np.asarray(run_model(m, {"input": x_nchw})["output0"])
+    np.testing.assert_array_equal(ref, got)
+    assert len(m.nodes) <= n_before

@@ -44,6 +44,10 @@ def main() -> None:
     parser.add_argument("--slim", action="store_true",
                         help="physically remove dead expansion channels first "
                              "(expansion-pruned checkpoints)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-weight serving mode (per-channel symmetric "
+                             "quantized kernels in HBM, dequantized in-jit; "
+                             "BASELINE config #5 'bf16/int8 pipeline')")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -81,7 +85,10 @@ def main() -> None:
             print(f"# slim: {n_slim} blocks narrowed")
     # the serving fast path: folded BN + bf16 + fused Pallas normalize/decode,
     # uint8 in -> uint8 mask out (what a deployed consumer sends/receives)
-    predictor = SegPredictor(params, batch_stats, args.size, args.size)
+    predictor = SegPredictor(
+        params, batch_stats, args.size, args.size,
+        quantize="int8" if args.int8 else None,
+    )
 
     def forward(images_u8):
         return predictor.predict(images_u8)
@@ -103,7 +110,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"seg_inference_images_per_sec_{args.size}x{args.size}_b{best_batch}",
+                "metric": "seg_inference_images_per_sec_"
+                          f"{args.size}x{args.size}_b{best_batch}"
+                          + ("_int8" if args.int8 else ""),
                 "value": round(best, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 3),

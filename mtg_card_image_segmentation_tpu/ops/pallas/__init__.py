@@ -13,5 +13,8 @@ from mtg_card_image_segmentation_tpu.ops.pallas.decoder import (
     fused_mask_decode,
     upsample2x_add,
 )
+from mtg_card_image_segmentation_tpu.ops.pallas.stem import fused_stem
 
-__all__ = ["fused_normalize", "upsample2x_add", "fused_mask_decode"]
+__all__ = [
+    "fused_normalize", "upsample2x_add", "fused_mask_decode", "fused_stem",
+]

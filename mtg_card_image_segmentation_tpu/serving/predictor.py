@@ -20,6 +20,7 @@ preprocess/inference/postprocess loop (demo/src/model-inference.js:352-401).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -34,7 +35,10 @@ from mtg_card_image_segmentation_tpu.models.mobilenetv3 import (
     MOBILENET_V3_LARGE_ROWS,
     MobileNetV3Backbone,
 )
-from mtg_card_image_segmentation_tpu.ops.pallas import fused_mask_decode
+from mtg_card_image_segmentation_tpu.ops.pallas import (
+    fused_mask_decode,
+    fused_stem,
+)
 from mtg_card_image_segmentation_tpu.ops.pallas.fused_block import (
     fused_inverted_residual,
 )
@@ -104,17 +108,20 @@ def _fold_normalize_into_stem(params):
     return new
 
 
-def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS):
+def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS,
+                    stem_done=False):
     """Backbone forward with per-block fused Pallas kernels where enabled.
 
     Equivalent to MobileNetV3Backbone(fold_bn=True).apply (golden-tested);
-    returns the same {"low", "high"} taps.
+    returns the same {"low", "high"} taps. With ``stem_done`` the input is
+    already the stem output (the fused_stem Pallas path).
     """
-    stem = ConvBNAct(
-        16, 3, stride=2, act="hardswish", fold_bn=True,
-        dtype=dtype, param_dtype=dtype,
-    )
-    x = stem.apply({"params": bb_params["stem"]}, x)
+    if not stem_done:
+        stem = ConvBNAct(
+            16, 3, stride=2, act="hardswish", fold_bn=True,
+            dtype=dtype, param_dtype=dtype,
+        )
+        x = stem.apply({"params": bb_params["stem"]}, x)
     taps = {}
     cin = 16
     from mtg_card_image_segmentation_tpu.models.layers import make_divisible
@@ -277,15 +284,38 @@ class SegPredictor:
 
         if use_pallas:
 
+            # The space-to-depth stem kernel (ops/pallas/stem.py) is
+            # measured SLOWER end-to-end (27.2 vs 24.8 ms @512x512 b128):
+            # its matmul is ~free but the depth-to-space back to NHWC costs
+            # ~2.4 ms in-context and Mosaic cannot fold it into the kernel
+            # (lane-restructuring reshapes unsupported). XLA's own stem wins
+            # because the layout engine folds the surrounding transposes.
+            # Opt-in kept for future s2d-layout backbones.
+            stem_ok = (
+                height % 8 == 0 and width % 8 == 0
+                and os.environ.get("MTG_FUSED_STEM") == "1"
+            )
+
             @jax.jit
             def predict(p, images_u8):
                 if quantize == "int8":
                     p = _dequant_jax(p, dtype)
-                # normalization is folded into the stem weights; feed the
-                # mean-centered image (so zero padding == ImageNet zero)
+                # normalization is folded into the stem weights; the
+                # centering constant makes zero padding == ImageNet zero
                 center = jnp.asarray(255.0 * _IMAGENET_MEAN, jnp.float32)
-                x = (images_u8.astype(jnp.float32) - center).astype(dtype)
-                taps = _fused_backbone(p["backbone"], x, dtype, fused_blocks)
+                if stem_ok:
+                    # fused u8 -> centered -> conv3x3s2 -> hardswish Pallas
+                    # kernel (XLA runs the C=3 stem conv at 3/128 MXU lane
+                    # occupancy — measured 5.9ms of a 25.7ms forward pass)
+                    stem_p = p["backbone"]["stem"]["conv"]
+                    x = fused_stem(
+                        images_u8, stem_p["kernel"], stem_p["bias"], center,
+                        out_dtype=dtype,
+                    )
+                else:
+                    x = (images_u8.astype(jnp.float32) - center).astype(dtype)
+                taps = _fused_backbone(p["backbone"], x, dtype, fused_blocks,
+                                       stem_done=stem_ok)
                 score = _head_score_s8(p["head"], taps["low"], taps["high"], dtype)
                 return fused_mask_decode(score, height, width)
 

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from mtg_card_image_segmentation_tpu.data.preprocess import preprocess_batch
 from mtg_card_image_segmentation_tpu.ops.pallas import (
+    fused_stem,
     fused_mask_decode,
     fused_normalize,
     upsample2x_add,
@@ -61,3 +62,68 @@ def test_fused_mask_decode_odd_sizes():
     full = bilinear_resize(jnp.asarray(logits), 100, 75)
     ref = np.asarray(jnp.argmax(full, axis=-1)).astype(np.uint8)
     np.testing.assert_array_equal(ours, ref)
+
+
+def _xla_stem(imgs_u8, kernel, bias, center, dtype=jnp.float32):
+    """Reference: centered conv3x3 stride-2 SAME + bias + hardswish."""
+    x = imgs_u8.astype(jnp.float32) - center
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), jnp.asarray(kernel, dtype),
+        window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(bias, dtype)
+    yf = y.astype(jnp.float32)
+    return yf * (jnp.clip(yf + 3.0, 0.0, 6.0) / 6.0)
+
+
+@pytest.mark.parametrize("fold_d2s", [False, True])
+@pytest.mark.parametrize("hw", [(64, 64), (40, 24)])
+def test_fused_stem_matches_conv(hw, fold_d2s):
+    """Space-to-depth stem kernel == conv3x3s2(u8 - center) + hardswish
+    (serving stem with BN + ImageNet normalization folded in,
+    serving/predictor.py). fold_d2s exercises the in-kernel
+    depth-to-space variant (interpret-only today — see stem.py STATUS)."""
+    h, w = hw
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (3, h, w, 3), dtype=np.uint8)
+    kernel = (rng.standard_normal((3, 3, 3, 16)) * 0.1).astype(np.float32)
+    bias = (rng.standard_normal((16,)) * 0.1).astype(np.float32)
+    center = (255.0 * np.array([0.485, 0.456, 0.406])).astype(np.float32)
+    ours = np.asarray(
+        fused_stem(jnp.asarray(imgs), jnp.asarray(kernel), jnp.asarray(bias),
+                   jnp.asarray(center), out_dtype=jnp.float32, interpret=True,
+                   fold_d2s=fold_d2s),
+        np.float32,
+    )
+    ref = np.asarray(
+        _xla_stem(jnp.asarray(imgs), kernel, bias, jnp.asarray(center),
+                  dtype=jnp.bfloat16),
+        np.float32,
+    )
+    assert ours.shape == ref.shape == (3, h // 2, w // 2, 16)
+    # both sides compute in bf16 but the kernel centers in bf16 (double
+    # rounding) and accumulates in a different order: allow one bf16 ulp
+    # at the activation magnitude (~160 -> ulp 1.0). A placement bug would
+    # blow up the mean, not the tail.
+    np.testing.assert_allclose(ours, ref, rtol=0.02, atol=1.0)
+    assert float(np.abs(ours - ref).mean()) < 0.1
+
+
+def test_fused_stem_batch_split_invariance():
+    """images_per_step grid tiling must not change the result."""
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    kernel = (rng.standard_normal((3, 3, 3, 16)) * 0.1).astype(np.float32)
+    bias = np.zeros((16,), np.float32)
+    center = np.full((3,), 120.0, np.float32)
+    outs = [
+        np.asarray(
+            fused_stem(jnp.asarray(imgs), jnp.asarray(kernel),
+                       jnp.asarray(bias), jnp.asarray(center),
+                       out_dtype=jnp.float32, images_per_step=bt,
+                       interpret=True)
+        )
+        for bt in (1, 2, 4)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])

@@ -15,6 +15,12 @@ config #5). Two consumers:
   int8 + fp32 scales, dequantized on the fly).
 
 Symmetric per-channel: scale_o = max|W[..., o]| / 127, W_q = round(W/scale).
+
+Why weights-only (no int8 MXU compute): measured on the real v5e, int8 x
+int8 -> int32 dot_general is SLOWER than bf16 for this model's matmul
+shapes (M=128K-512K, K=80-960: 0.15x-0.70x the bf16 rate) — the int8 MXU
+path only pays off at far larger contraction dims. int8 here is a memory
+play (4x smaller HBM weights / ONNX download), not a FLOP play.
 """
 
 from __future__ import annotations

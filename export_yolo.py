@@ -119,9 +119,20 @@ def main() -> None:
             out16 = np.asarray(
                 make_runner(op.Model.load(fp16_path))(jnp.asarray(x_nchw))
             )
-            d16 = float(np.abs(out16 - ref).max())
-            ok16 = bool(np.all(np.abs(out16 - ref) <= atol16 + 1e-2 * np.abs(ref)))
-            print(f"fp16 parity: max|diff|={d16:.2e} {'PASS' if ok16 else 'FAIL'}")
+            # per-row-type gates (a uniform atol=1.0 would be vacuous for
+            # the [0,1] probability rows): rows 0-3 boxes px, row 4 score,
+            # kpt rows 5.. repeat (x px, y px, conf)
+            n_rows = out16.shape[1]
+            prob_rows = [4] + [i for i in range(5, n_rows) if (i - 5) % 3 == 2]
+            px_rows = [i for i in range(n_rows) if i not in prob_rows]
+            diff16 = np.abs(out16 - ref)
+            d16_px = float(diff16[:, px_rows].max())
+            d16_prob = float(diff16[:, prob_rows].max())
+            d16 = float(diff16.max())
+            ok16 = d16_px <= atol16 and d16_prob <= 1e-2
+            print(f"fp16 parity: px max|diff|={d16_px:.2e} (< {atol16} px), "
+                  f"prob max|diff|={d16_prob:.2e} (< 1e-2) "
+                  f"{'PASS' if ok16 else 'FAIL'}")
 
             # independent torch-kernel re-execution (export_seg.py rationale)
             from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
@@ -135,7 +146,8 @@ def main() -> None:
                   f"{'PASS' if okt else 'FAIL'}")
         parity = {
             "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
-            "fp16_max_abs_diff": d16, "fp16_pass": bool(ok16),
+            "fp16_max_abs_diff": d16, "fp16_px_max_abs_diff": d16_px,
+            "fp16_prob_max_abs_diff": d16_prob, "fp16_pass": bool(ok16),
             "torch_runner_max_abs_diff": dt, "torch_runner_pass": bool(okt),
         }
         import shutil
@@ -166,8 +178,10 @@ def main() -> None:
             "name": "output0",
             "shape": [1, 17, sum((size // s) ** 2 for s in (8, 16, 32))],
             "rows": "[x1,y1,x2,y2,score,(kx,ky,kconf)x4] in input pixels",
-            "decode": "max_det=1: box at argmax score; keypoint k at its "
-                      "argmax kconf column",
+            "decode": "use decode_yolo.py (shipped alongside): joint top-2 "
+                      "corner decode with collision penalty + canonical "
+                      "reordering — a naive per-channel argmax regresses to "
+                      "corner-identity swaps on ~2% of rotated cards",
         },
         "parameters": count_parameters(state.params),
         "opset": 19,
@@ -177,6 +191,16 @@ def main() -> None:
     }
     with open(os.path.join(args.output_dir, "yolo_info.json"), "w") as f:
         json.dump(info, f, indent=2)
+    # ship the reference client decode (numpy-only): the raw graph output
+    # needs the joint corner decode to reach the reported accuracy
+    import shutil as _shutil
+
+    from mtg_card_image_segmentation_tpu.export import yolo_client_decode
+
+    _shutil.copyfile(
+        yolo_client_decode.__file__,
+        os.path.join(args.output_dir, "decode_yolo.py"),
+    )
     print(f"deployment package -> {args.output_dir}/")
 
 

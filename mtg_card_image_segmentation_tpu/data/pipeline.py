@@ -36,12 +36,10 @@ from mtg_card_image_segmentation_tpu.parallel.mesh import is_trivial, shard_batc
 
 def _local_batch(batch_size: int) -> int:
     """Per-process batch under multi-host: ``batch_size`` is the GLOBAL
-    batch; each process produces 1/process_count of it
-    (parallel/distributed.py contract)."""
-    n = jax.process_count()
-    if batch_size % n != 0:
-        raise ValueError(f"global batch {batch_size} not divisible by {n} processes")
-    return batch_size // n
+    batch; each process produces 1/process_count of it."""
+    from mtg_card_image_segmentation_tpu.parallel import distributed
+
+    return distributed.local_batch_size(batch_size)
 
 
 def _to_global(mesh, images, masks):
@@ -186,26 +184,21 @@ class PoseSyntheticPipeline:
             self._key, sub = jax.random.split(self._key)
             images, targets, corners = self._make(sub)
             if jax.process_count() > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from jax.sharding import PartitionSpec as P
 
+                from mtg_card_image_segmentation_tpu.parallel import distributed
                 from mtg_card_image_segmentation_tpu.parallel.mesh import (
                     AXIS_DATA,
                     AXIS_HOSTS,
                 )
 
-                n = jax.process_count()
-
-                def glob(arr, spec):
-                    a = np.asarray(arr)
-                    return jax.make_array_from_process_local_data(
-                        NamedSharding(self.mesh, spec), a,
-                        (n * a.shape[0],) + a.shape[1:],
-                    )
-
+                # pose batches shard only the batch dim (heatmap targets /
+                # corners have no space-sharded H axis)
                 bspec = P((AXIS_HOSTS, AXIS_DATA))
-                images = glob(images, bspec)
-                targets = glob(targets, bspec)
-                corners = glob(corners, bspec)
+                images, targets, corners = distributed.global_arrays(
+                    self.mesh, images, targets, corners,
+                    specs=[bspec, bspec, bspec],
+                )
             elif self.mesh is not None and not is_trivial(self.mesh):
                 from jax.sharding import NamedSharding
 
@@ -262,10 +255,12 @@ class FilePipeline:
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
         if jax.process_count() > 1:
-            from mtg_card_image_segmentation_tpu.parallel import distributed
-
-            n = len(distributed.process_shard(list(range(n))))
-            return n // self._local_bs
+            # computed from the GLOBAL count so every process agrees (they
+            # join the same collectives each step; a per-shard count can
+            # differ by one across processes and deadlock the epoch end).
+            # Every strided shard holds >= floor(n/world) >= steps*local_bs
+            # items, so each process can always fill its slice.
+            return n // self.batch_size
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _host_batches(self):

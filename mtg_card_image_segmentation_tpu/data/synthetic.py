@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mtg_card_image_segmentation_tpu.data import warp as W
 
@@ -64,9 +65,12 @@ class AssetBank(NamedTuple):
     backgrounds: jax.Array  # (Nb, Bh, Bw, 3) float32 [0,1]
     # equirect HDRI environments (downloaders.PolyhavenHDRIDownloader output;
     # the reference lights every render with one, generate_synthetic.py:326-361)
-    hdris: jax.Array = jnp.zeros((0, 64, 128, 3))  # tone-mapped [0,1]
+    # host-numpy defaults: a jnp default here would initialize the JAX
+    # backend at import time and break jax.distributed.initialize() in the
+    # multi-host trainers (it must run before any JAX computation)
+    hdris: jax.Array = np.zeros((0, 64, 128, 3), np.float32)  # tone-mapped [0,1]
     # blurred mean-1.0 illumination fields derived from hdris at load time
-    hdri_light: jax.Array = jnp.zeros((0, 16, 32, 3))
+    hdri_light: jax.Array = np.zeros((0, 16, 32, 3), np.float32)
 
 
 def load_asset_bank(

@@ -131,7 +131,8 @@ def eliminate_nop_cast(model: op.Model) -> int:
                     (op.FLOAT16, op.FLOAT),  # f16 -> f32 is exact
                     (op.UINT8, op.FLOAT),
                     (op.UINT8, op.INT32),
-                    (op.INT32, op.FLOAT),
+                    # NOT (INT32, FLOAT): i32 -> f32 rounds above 2^24, so
+                    # collapsing i32->f32->X would skip that rounding
                 }
                 if (known.get(producer.inputs[0]), inter) in widening:
                     node.inputs = [producer.inputs[0]]

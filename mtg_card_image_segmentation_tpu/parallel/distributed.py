@@ -85,6 +85,30 @@ def local_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
+def global_arrays(mesh: Mesh, *local_arrays: np.ndarray, specs=None):
+    """Assemble one globally-sharded jax.Array per local array (generic
+    N-array form of :func:`global_batch`; the pose pipeline ships three).
+
+    ``specs``: per-array PartitionSpec list; defaults to batch_spec() for
+    all. Each process passes its own (local_B, ...) slice; no host ever
+    materializes the full global batch.
+    """
+    n = jax.process_count()
+    if specs is None:
+        specs = [batch_spec()] * len(local_arrays)
+    out = []
+    for arr, spec in zip(local_arrays, specs):
+        arr = np.asarray(arr)
+        if n == 1:
+            out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+            continue
+        gshape = (n * arr.shape[0],) + tuple(arr.shape[1:])
+        out.append(jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), arr, gshape
+        ))
+    return tuple(out)
+
+
 def global_batch(
     mesh: Mesh, local_images: np.ndarray, local_masks: Optional[np.ndarray] = None
 ):

@@ -57,13 +57,41 @@ def save_checkpoint(
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     staging = path + ".staging"
     os.makedirs(checkpoint_dir, exist_ok=True)
-    last_err: Optional[BaseException] = None
-    for _ in range(retries + 1):
+
+    # Multi-host: the orbax save itself is coordinated across processes,
+    # but the host-side filesystem steps (stale cleanup, write-then-swap,
+    # meta write) must run on exactly ONE process over the shared dir —
+    # an uncoordinated swap races: a lagging process's rmtree(path) could
+    # delete the checkpoint process 0 just renamed into place. Barriers
+    # fence cleanup-before-save and save-before-swap; retries are
+    # single-process only (a per-process retry would desynchronize the
+    # collective save and deadlock the barriers).
+    multi = jax.process_count() > 1
+    lead = jax.process_index() == 0
+    if multi:
+        from jax.experimental import multihost_utils
+
+        retries = 0
+
+    def _clean_stale():
         for entry in os.listdir(checkpoint_dir):
             if entry == name + ".staging" or (
                 entry.startswith(name + ".") and ".orbax-checkpoint-tmp" in entry
             ):
                 shutil.rmtree(os.path.join(checkpoint_dir, entry), ignore_errors=True)
+
+    # Failure semantics: orbax save errors are effectively collective (the
+    # commit protocol is coordinated), so all processes raise together and
+    # the barriers stay matched; a truly one-sided host failure desyncs the
+    # job like any other collective would.
+    last_err: Optional[BaseException] = None
+    for _ in range(retries + 1):
+        if not multi:
+            _clean_stale()
+        else:
+            if lead:
+                _clean_stale()
+            multihost_utils.sync_global_devices(f"ckpt-cleaned-{name}-{epoch}")
         try:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(staging, _state_tree(state))
@@ -74,18 +102,23 @@ def save_checkpoint(
             last_err = e
     if last_err is not None:
         raise last_err
-    # swap: drop the old checkpoint only now that the new one is complete
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
-    os.rename(staging, path)
-    meta = {
-        "epoch": int(epoch),
-        "best_metric": None if best_metric is None else float(best_metric),
-        "history": history or {},
-        "config": config or {},
-    }
-    with open(os.path.join(checkpoint_dir, name + ".meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    if multi:
+        multihost_utils.sync_global_devices(f"ckpt-saved-{name}-{epoch}")
+    if not multi or lead:
+        # swap: drop the old checkpoint only now that the new one is complete
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        os.rename(staging, path)
+        meta = {
+            "epoch": int(epoch),
+            "best_metric": None if best_metric is None else float(best_metric),
+            "history": history or {},
+            "config": config or {},
+        }
+        with open(os.path.join(checkpoint_dir, name + ".meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+    if multi:
+        multihost_utils.sync_global_devices(f"ckpt-swapped-{name}-{epoch}")
     return path
 
 

@@ -67,3 +67,18 @@ checksum = float(
     sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(state.params))
 )
 print("MPRESULT " + json.dumps({"loss": float(stats["loss"]), "checksum": checksum}))
+
+# multi-host coordinated checkpoint: orbax collective save + lead-only
+# write-then-swap behind barriers (training/checkpoint.py) — a worker that
+# hangs or crashes here fails the parent's timeout
+import shutil  # noqa: E402
+
+from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib  # noqa: E402
+
+ckpt_dir = f"/tmp/mp_ckpt_{port}"
+if pid == 0:
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+saved = ckpt_lib.save_checkpoint(ckpt_dir, "best_model", state, epoch=1)
+assert os.path.isdir(os.path.join(ckpt_dir, "best_model")), saved
+assert not os.path.isdir(os.path.join(ckpt_dir, "best_model.staging"))
+print("MPCKPT OK")

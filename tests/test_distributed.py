@@ -101,3 +101,26 @@ def test_process_shard_partitions():
     c = distributed.process_shard(items, index=2, count=3)
     assert sorted(a + b + c) == items
     assert a == [0, 3, 6, 9]
+
+
+def test_file_pipeline_steps_agree_across_processes(monkeypatch):
+    """steps_per_epoch must be identical on every process (all join the
+    same collectives each step): computed from the GLOBAL count, not the
+    per-process strided shard whose lengths differ by one."""
+    import mtg_card_image_segmentation_tpu.data.pipeline as pl
+
+    class _DS:
+        def __len__(self):
+            return 31
+
+    steps = []
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        pipe = pl.FilePipeline.__new__(pl.FilePipeline)
+        pipe.dataset = _DS()
+        pipe.batch_size = 16
+        pipe._local_bs = 8
+        pipe.drop_last = True
+        steps.append(pipe.steps_per_epoch)
+    assert steps[0] == steps[1] == 31 // 16

@@ -94,3 +94,38 @@ def test_yolo_train_step_learns(mesh8):
         state, parts = step(state, images_d, corners)
         losses.append(float(parts["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_client_decode_matches_top1_detection():
+    """The shipped numpy decode (export/yolo_client_decode.py, copied into
+    every YOLO deployment package as decode_yolo.py) must agree with the
+    in-repo joint decode that produces the reported accuracy."""
+    from mtg_card_image_segmentation_tpu.export.yolo_client_decode import decode
+
+    rng = np.random.default_rng(7)
+    a, k = 336, 4
+    for trial in range(8):
+        boxes = jnp.asarray(rng.uniform(0, 128, (1, a, 4)), jnp.float32)
+        scores = jnp.asarray(rng.uniform(0, 1, (1, a, 1)), jnp.float32)
+        kpts = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(0, 128, (1, a, k, 2)), rng.uniform(0, 1, (1, a, k, 1))],
+                axis=-1,
+            ),
+            jnp.float32,
+        )
+        bb, conf, kk = top1_detection(boxes, scores, kpts)
+
+        # assemble the ONNX output0 layout: (1, 4+nc+3K, A)
+        out0 = np.concatenate(
+            [
+                np.asarray(boxes)[0].T,
+                np.asarray(scores)[0].T,
+                np.transpose(np.asarray(kpts)[0], (1, 2, 0)).reshape(3 * k, a),
+            ],
+            axis=0,
+        )[None]
+        box_np, score_np, kp_np = decode(out0, num_keypoints=k)
+        np.testing.assert_allclose(box_np, np.asarray(bb)[0], rtol=1e-6)
+        np.testing.assert_allclose(score_np, float(np.asarray(conf)[0]), rtol=1e-6)
+        np.testing.assert_allclose(kp_np, np.asarray(kk)[0], rtol=1e-5, atol=1e-4)

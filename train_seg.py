@@ -77,14 +77,31 @@ def main() -> None:
             )
         )
 
+        nproc = distributed.process_count()
+        val_lb = distributed.local_batch_size(batch)
+
         @jax.jit
-        def _val_batch(key):
+        def _val_batch_local(key):
             # validation stream mixes real-texture samples too when a bank is
             # configured, so eval covers the real-asset domain
             b = synthetic_batch(
-                key, batch, h, w, 0.09, assets, cfg.data.real_asset_prob
+                key, val_lb, h, w, 0.09, assets, cfg.data.real_asset_prob
             )
             return normalize_only(b.image), b.mask
+
+        def _val_batch(key):
+            if nproc == 1:
+                return _val_batch_local(key)
+            # multi-host: each process renders its 1/nproc slice (distinct
+            # key) and the slices assemble into one global-mesh batch —
+            # feeding process-local full batches to the globally-sharded
+            # eval_step would be rejected (incompatible devices)
+            import numpy as np
+
+            imgs, msks = _val_batch_local(
+                jax.random.fold_in(key, distributed.process_index())
+            )
+            return distributed.global_batch(mesh, np.asarray(imgs), np.asarray(msks))
 
         def make_val_batches(n: int = 8, seed: int = 10_000):
             return [_val_batch(jax.random.key(seed + i)) for i in range(n)]
@@ -125,10 +142,14 @@ def main() -> None:
         train_iter = _forever(train_pipe)
 
         def make_val_batches():
+            # multi-host FilePipeline is a drop_last path (per-process
+            # padded-tail accounting is not supported); single-process
+            # keeps the padded final batch + valid-weighted metrics
             return iter(
                 FilePipeline(
                     test_ds, batch, h, w, mesh=mesh, augment=None,
-                    shuffle=False, drop_last=False,
+                    shuffle=False,
+                    drop_last=distributed.process_count() > 1,
                 )
             )
 

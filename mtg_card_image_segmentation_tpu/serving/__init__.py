@@ -1,3 +1,4 @@
+from mtg_card_image_segmentation_tpu.serving.pose_predictor import PosePredictor
 from mtg_card_image_segmentation_tpu.serving.predictor import SegPredictor
 
-__all__ = ["SegPredictor"]
+__all__ = ["SegPredictor", "PosePredictor"]

@@ -1,0 +1,137 @@
+"""Fused TPU serving path for the HRNet corner-pose model.
+
+The pose analog of :class:`~...serving.predictor.SegPredictor` (the
+reference's deployment flow is inference_test.py: preprocess -> model ->
+peak extraction -> scale-to-original): ONE jitted program taking uint8
+camera frames and returning pixel corner coordinates + confidences —
+uint8 -> fused Pallas normalize (bf16) -> HRNet -> heatmap decode with
+quarter-offset sub-pixel refinement -> input-pixel scaling. No host
+round-trips between stages; BN runs in inference mode (its affine
+constant-folds into the surrounding convs at compile time).
+
+Quarter-offset refinement (standard HRNet post-processing, and the
+sub-pixel analog of inference_test.py:221-255's peak extraction): shift
+the argmax 0.25 heatmap px toward the larger of each axis' two
+neighbors. Exact argmax decode (= PoseEvaluator's reported numbers) is
+available with ``refine=False``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mtg_card_image_segmentation_tpu.models import create_model
+from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
+from mtg_card_image_segmentation_tpu.ops.pallas import fused_normalize
+
+__all__ = ["PosePredictor", "refine_quarter_offset"]
+
+
+def refine_quarter_offset(heatmaps: jax.Array, coords01, conf):
+    """Sub-pixel refinement of an argmax decode: +-0.25 hm px per axis
+    toward the higher neighbor. heatmaps (B, H, W, K); coords01 (B, K, 2)
+    xy in [0,1] (size-1 convention)."""
+    b, h, w, k = heatmaps.shape
+    xi = jnp.round(coords01[..., 0] * (w - 1)).astype(jnp.int32)  # (B, K)
+    yi = jnp.round(coords01[..., 1] * (h - 1)).astype(jnp.int32)
+    bb = jnp.arange(b)[:, None]
+    kk = jnp.arange(k)[None, :]
+
+    def at(y, x):
+        y = jnp.clip(y, 0, h - 1)
+        x = jnp.clip(x, 0, w - 1)
+        return heatmaps[bb, y, x, kk].astype(jnp.float32)
+
+    dx = jnp.sign(at(yi, xi + 1) - at(yi, xi - 1)) * 0.25
+    dy = jnp.sign(at(yi + 1, xi) - at(yi - 1, xi)) * 0.25
+    # clamp the shifted point back into [0, size-1]
+    fx = jnp.clip(xi.astype(jnp.float32) + dx, 0, w - 1) / (w - 1)
+    fy = jnp.clip(yi.astype(jnp.float32) + dy, 0, h - 1) / (h - 1)
+    return jnp.stack([fx, fy], axis=-1), conf
+
+
+class PosePredictor:
+    """predict(uint8 images) -> (corners_px (B, 4, 2), conf (B, 4)), one
+    jitted program end to end."""
+
+    def __init__(
+        self,
+        params,
+        batch_stats,
+        height: int,
+        width: int,
+        heatmap_hw: Tuple[int, int] = (120, 160),
+        num_keypoints: int = 4,
+        dtype=jnp.bfloat16,
+        refine: bool = True,
+        threshold: float = 0.3,
+        use_pallas: bool = True,
+    ) -> None:
+        model = create_model(
+            "hrnet_pose", num_keypoints=num_keypoints,
+            heatmap_height=heatmap_hw[0], heatmap_width=heatmap_hw[1],
+            compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        )
+        self._params = jax.tree.map(jnp.asarray, params)
+        self._stats = jax.tree.map(jnp.asarray, batch_stats)
+        self.height, self.width = height, width
+        self.threshold = threshold
+
+        @jax.jit
+        def predict(params, stats, images_u8):
+            if use_pallas:
+                x = fused_normalize(images_u8, out_dtype=dtype)
+            else:  # XLA path (CPU tests / non-TPU backends)
+                from mtg_card_image_segmentation_tpu.data.preprocess import (
+                    normalize_only,
+                )
+
+                x = normalize_only(
+                    images_u8.astype(jnp.float32) / 255.0
+                ).astype(dtype)
+            heatmaps = model.apply(
+                {"params": params, "batch_stats": stats}, x, train=False
+            )
+            coords01, conf = hm_lib.decode_argmax(heatmaps)
+            if refine:
+                coords01, conf = refine_quarter_offset(heatmaps, coords01, conf)
+            px = hm_lib.coords01_to_pixels(coords01, (height, width))
+            return px, conf.astype(jnp.float32)
+
+        self._predict = predict
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_dir: str, name: str, height: int, width: int, **kw
+    ) -> "PosePredictor":
+        from mtg_card_image_segmentation_tpu.config import OptimizerConfig
+        from mtg_card_image_segmentation_tpu.training import (
+            checkpoint as ckpt_lib,
+            create_optimizer,
+            create_seg_state,
+        )
+
+        hm_hw = kw.get("heatmap_hw", (120, 160))
+        model = create_model(
+            "hrnet_pose", heatmap_height=hm_hw[0], heatmap_width=hm_hw[1]
+        )
+        tx, _ = create_optimizer(OptimizerConfig(), 1, 1)
+        state = create_seg_state(model, tx, (1, height, width, 3), jax.random.key(0))
+        state, _ = ckpt_lib.load_checkpoint(
+            checkpoint_dir, name, state, params_only=True
+        )
+        return cls(state.params, state.batch_stats, height, width, **kw)
+
+    def predict(self, images_u8):
+        """(B, H, W, 3) uint8 -> ((B, 4, 2) float32 xy input pixels,
+        (B, 4) float32 peak confidences)."""
+        return self._predict(self._params, self._stats, jnp.asarray(images_u8))
+
+    def predict_valid(self, images_u8):
+        """Like predict, plus the validity mask conf >= threshold
+        (inference_test.py peak-threshold semantics)."""
+        px, conf = self.predict(images_u8)
+        return px, conf, conf >= self.threshold

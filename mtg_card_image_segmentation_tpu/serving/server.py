@@ -39,7 +39,8 @@ _CONTENT_TYPES = {
 }
 
 
-def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None):
+def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None,
+                 pose_predictor=None, pose_hw=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -89,6 +90,8 @@ def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None):
             return self._serve_static(demo_dir, self.path)
 
         def do_POST(self):
+            if self.path == "/api/corners":
+                return self._post_corners()
             if self.path != "/api/segment":
                 return self._send(404, b'{"error": "not found"}')
             if predictor is None:
@@ -126,6 +129,55 @@ def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None):
             except Exception as e:  # noqa: BLE001
                 return self._send(400, json.dumps({"error": str(e)}).encode())
 
+        def _post_corners(self):
+            """TPU corner detection (PosePredictor): image bytes -> JSON
+            {corners: [[x, y], ...] in ORIGINAL image pixels, confidences,
+            valid, inference_ms} — the reference inference_test.py flow
+            (preprocess, peaks, scale-to-original) behind one endpoint."""
+            if pose_predictor is None:
+                return self._send(
+                    503,
+                    b'{"error": "pose predictor not loaded '
+                    b'(start with --pose-checkpoint)"}',
+                )
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0 or length > 32 * 1024 * 1024:
+                return self._send(400, b'{"error": "bad content length"}')
+            data = self.rfile.read(length)
+            try:
+                import cv2
+                import numpy as np
+
+                arr = np.frombuffer(data, np.uint8)
+                img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+                if img is None:
+                    raise ValueError("undecodable image")
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                oh, ow = img.shape[:2]
+                h, w = pose_hw
+                img_r = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+                t0 = time.perf_counter()
+                px, conf, valid = pose_predictor.predict_valid(img_r[None])
+                dt = (time.perf_counter() - t0) * 1e3
+                px = np.asarray(px)[0]
+                # scale back to the original image (inference_test.py
+                # scale-to-original step)
+                px = px * np.asarray([(ow - 1) / (w - 1), (oh - 1) / (h - 1)])
+                body = json.dumps(
+                    {
+                        "corners": [[round(float(x), 2), round(float(y), 2)]
+                                    for x, y in px],
+                        "confidences": [round(float(c), 4)
+                                        for c in np.asarray(conf)[0]],
+                        "valid": [bool(v) for v in np.asarray(valid)[0]],
+                        "inference_ms": round(dt, 2),
+                        "image_shape": [int(oh), int(ow)],
+                    }
+                ).encode()
+                return self._send(200, body)
+            except Exception as e:  # noqa: BLE001
+                return self._send(400, json.dumps({"error": str(e)}).encode())
+
     return Handler
 
 
@@ -138,6 +190,9 @@ class DemoServer:
         checkpoint: Optional[str] = None,
         height: int = 320,
         width: int = 240,
+        pose_checkpoint: Optional[str] = None,
+        pose_height: int = 480,
+        pose_width: int = 640,
     ) -> None:
         predictor = None
         if checkpoint:
@@ -147,9 +202,20 @@ class DemoServer:
             predictor = SegPredictor.from_checkpoint(
                 ckpt_dir or ".", name, height, width
             )
+        pose_predictor = None
+        if pose_checkpoint:
+            from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
+                PosePredictor,
+            )
+
+            ckpt_dir, name = os.path.split(os.path.normpath(pose_checkpoint))
+            pose_predictor = PosePredictor.from_checkpoint(
+                ckpt_dir or ".", name, pose_height, pose_width
+            )
         handler = make_handler(
             os.path.abspath(demo_dir), os.path.abspath(models_dir),
             predictor, (height, width),
+            pose_predictor, (pose_height, pose_width),
         )
         self.httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
         self.port = port
@@ -179,10 +245,15 @@ def main() -> None:
                         help="enable the TPU /api/segment endpoint")
     parser.add_argument("--height", type=int, default=320)
     parser.add_argument("--width", type=int, default=240)
+    parser.add_argument("--pose-checkpoint", default=None,
+                        help="enable the TPU /api/corners endpoint")
+    parser.add_argument("--pose-height", type=int, default=480)
+    parser.add_argument("--pose-width", type=int, default=640)
     args = parser.parse_args()
     DemoServer(
         args.demo_dir, args.models_dir, args.port, args.checkpoint,
         args.height, args.width,
+        args.pose_checkpoint, args.pose_height, args.pose_width,
     ).serve_forever()
 
 

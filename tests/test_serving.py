@@ -163,3 +163,64 @@ def test_int8_predictor_agreement():
     images = np.random.default_rng(1).integers(0, 256, (4, h, w, 3), np.uint8)
     agreement = q.mask_agreement(base, images)
     assert agreement >= 0.99, agreement
+
+
+class TestPosePredictor:
+    """PosePredictor (serving/pose_predictor.py): one jitted uint8 ->
+    corners program, parity vs the evaluator's reference decode flow."""
+
+    @staticmethod
+    def _build(refine):
+        from mtg_card_image_segmentation_tpu.models import create_model
+        from mtg_card_image_segmentation_tpu.serving import PosePredictor
+
+        h, w, hm = 64, 96, (16, 24)
+        model = create_model(
+            "hrnet_pose", heatmap_height=hm[0], heatmap_width=hm[1],
+            compute_dtype="float32",
+        )
+        variables = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+        )(jax.random.key(0))
+        pred = PosePredictor(
+            variables["params"], variables["batch_stats"], h, w,
+            heatmap_hw=hm, dtype=jnp.float32, refine=refine,
+            use_pallas=False,
+        )
+        return model, variables, pred, (h, w)
+
+    def test_matches_evaluator_decode(self):
+        """refine=False == the PoseEvaluator default predict_step exactly."""
+        from mtg_card_image_segmentation_tpu.data.preprocess import normalize_only
+        from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
+
+        model, variables, pred, (h, w) = self._build(refine=False)
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+
+        px, conf = pred.predict(jnp.asarray(imgs))
+        assert px.shape == (2, 4, 2) and conf.shape == (2, 4)
+
+        x = normalize_only(jnp.asarray(imgs, jnp.float32) / 255.0)
+        heatmaps = model.apply(variables, x, train=False)
+        coords01, ref_conf = hm_lib.decode_argmax(heatmaps)
+        ref_px = hm_lib.coords01_to_pixels(coords01, (h, w))
+        np.testing.assert_allclose(np.asarray(px), np.asarray(ref_px),
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_refine_stays_within_quarter_px(self):
+        """Sub-pixel refinement moves each corner <= 0.25 heatmap px/axis."""
+        from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
+            refine_quarter_offset,
+        )
+        from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
+
+        rng = np.random.default_rng(1)
+        hms = jnp.asarray(rng.random((2, 16, 24, 4)), jnp.float32)
+        coords01, conf = hm_lib.decode_argmax(hms)
+        ref01, _ = refine_quarter_offset(hms, coords01, conf)
+        dx = np.abs(np.asarray(ref01[..., 0] - coords01[..., 0])) * (24 - 1)
+        dy = np.abs(np.asarray(ref01[..., 1] - coords01[..., 1])) * (16 - 1)
+        assert dx.max() <= 0.25 + 1e-5 and dy.max() <= 0.25 + 1e-5

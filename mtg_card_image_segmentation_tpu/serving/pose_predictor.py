@@ -27,7 +27,7 @@ from mtg_card_image_segmentation_tpu.models import create_model
 from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 from mtg_card_image_segmentation_tpu.ops.pallas import fused_normalize
 
-__all__ = ["PosePredictor", "refine_quarter_offset"]
+__all__ = ["PosePredictor", "YoloCornerPredictor", "refine_quarter_offset"]
 
 
 def refine_quarter_offset(heatmaps: jax.Array, coords01, conf):
@@ -107,23 +107,13 @@ class PosePredictor:
     def from_checkpoint(
         cls, checkpoint_dir: str, name: str, height: int, width: int, **kw
     ) -> "PosePredictor":
-        from mtg_card_image_segmentation_tpu.config import OptimizerConfig
-        from mtg_card_image_segmentation_tpu.training import (
-            checkpoint as ckpt_lib,
-            create_optimizer,
-            create_seg_state,
-        )
+        # template-free params read: no model.init compile, no optimizer
+        # state (serving needs neither; on the remote-compile relay the
+        # throwaway train state costs minutes of startup)
+        from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
-        hm_hw = kw.get("heatmap_hw", (120, 160))
-        model = create_model(
-            "hrnet_pose", heatmap_height=hm_hw[0], heatmap_width=hm_hw[1]
-        )
-        tx, _ = create_optimizer(OptimizerConfig(), 1, 1)
-        state = create_seg_state(model, tx, (1, height, width, 3), jax.random.key(0))
-        state, _ = ckpt_lib.load_checkpoint(
-            checkpoint_dir, name, state, params_only=True
-        )
-        return cls(state.params, state.batch_stats, height, width, **kw)
+        params, batch_stats, _ = ckpt_lib.load_params(checkpoint_dir, name)
+        return cls(params, batch_stats, height, width, **kw)
 
     def predict(self, images_u8):
         """(B, H, W, 3) uint8 -> ((B, 4, 2) float32 xy input pixels,
@@ -133,5 +123,71 @@ class PosePredictor:
     def predict_valid(self, images_u8):
         """Like predict, plus the validity mask conf >= threshold
         (inference_test.py peak-threshold semantics)."""
+        px, conf = self.predict(images_u8)
+        return px, conf, conf >= self.threshold
+
+
+class YoloCornerPredictor:
+    """YOLO-family corner serving path — same ``predict``/``predict_valid``
+    interface as :class:`PosePredictor`, so the demo server's /api/corners
+    endpoint serves either family.
+
+    ONE jitted program (the reference's deployment flow is
+    ``model.predict(max_det=1)`` + keypoint extraction,
+    *_yolo12n/model.py:215-264 / evaluate_model.py:74-133): uint8 frames ->
+    /255 (ultralytics preprocessing — no ImageNet normalization) -> YOLO12
+    forward + in-graph anchor decode -> joint top-2 corner assignment with
+    collision penalty + canonical reordering (models/yolo12_pose.py
+    top1_detection) -> per-corner pixel xy + confidence.
+    """
+
+    def __init__(
+        self,
+        params,
+        batch_stats,
+        imgsz: int = 640,
+        dtype=jnp.bfloat16,
+        threshold: float = 0.25,
+    ) -> None:
+        from mtg_card_image_segmentation_tpu.models.yolo12_pose import (
+            top1_detection,
+        )
+
+        model = create_model(
+            "yolo12n_pose",
+            compute_dtype="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        )
+        self._params = jax.tree.map(jnp.asarray, params)
+        self._stats = jax.tree.map(jnp.asarray, batch_stats)
+        self.height = self.width = imgsz
+        self.threshold = threshold
+
+        @jax.jit
+        def predict(params, stats, images_u8):
+            x = images_u8.astype(dtype) * (1.0 / 255.0)
+            boxes, scores, kpts = model.apply(
+                {"params": params, "batch_stats": stats}, x, train=False
+            )
+            _, _, kp = top1_detection(boxes, scores, kpts)
+            return kp[..., :2].astype(jnp.float32), kp[..., 2].astype(jnp.float32)
+
+        self._predict = predict
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_dir: str, name: str, imgsz: int = 640, **kw
+    ) -> "YoloCornerPredictor":
+        # template-free params read (see PosePredictor.from_checkpoint)
+        from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
+
+        params, batch_stats, _ = ckpt_lib.load_params(checkpoint_dir, name)
+        return cls(params, batch_stats, imgsz, **kw)
+
+    def predict(self, images_u8):
+        """(B, S, S, 3) uint8 -> ((B, 4, 2) float32 xy input pixels,
+        (B, 4) float32 per-corner confidences)."""
+        return self._predict(self._params, self._stats, jnp.asarray(images_u8))
+
+    def predict_valid(self, images_u8):
         px, conf = self.predict(images_u8)
         return px, conf, conf >= self.threshold

@@ -340,22 +340,13 @@ class SegPredictor:
     def from_checkpoint(
         cls, checkpoint_dir: str, name: str, height: int, width: int, **kw
     ) -> "SegPredictor":
-        import os
+        # template-free params read: serving needs no train state, and on
+        # the remote-compile relay the throwaway model.init + eager tx.init
+        # cost minutes of server startup
+        from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
-        from mtg_card_image_segmentation_tpu.config import OptimizerConfig
-        from mtg_card_image_segmentation_tpu.training import (
-            checkpoint as ckpt_lib,
-            create_optimizer,
-            create_seg_state,
-        )
-
-        model = create_model("lraspp_mobilenet_v3_large")
-        tx, _ = create_optimizer(OptimizerConfig(), 1, 1)
-        state = create_seg_state(model, tx, (1, height, width, 3), jax.random.key(0))
-        state, _ = ckpt_lib.load_checkpoint(
-            checkpoint_dir, name, state, params_only=True
-        )
-        return cls(state.params, state.batch_stats, height, width, **kw)
+        params, batch_stats, _ = ckpt_lib.load_params(checkpoint_dir, name)
+        return cls(params, batch_stats, height, width, **kw)
 
     def predict(self, images_u8) -> jax.Array:
         """(B, H, W, 3) uint8 (already at model resolution) -> (B, H, W)

@@ -193,6 +193,7 @@ class DemoServer:
         pose_checkpoint: Optional[str] = None,
         pose_height: int = 480,
         pose_width: int = 640,
+        pose_family: str = "hrnet",
     ) -> None:
         predictor = None
         if checkpoint:
@@ -204,14 +205,25 @@ class DemoServer:
             )
         pose_predictor = None
         if pose_checkpoint:
-            from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
-                PosePredictor,
-            )
-
             ckpt_dir, name = os.path.split(os.path.normpath(pose_checkpoint))
-            pose_predictor = PosePredictor.from_checkpoint(
-                ckpt_dir or ".", name, pose_height, pose_width
-            )
+            if pose_family == "yolo":
+                from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
+                    YoloCornerPredictor,
+                )
+
+                # YOLO runs on square inputs (*_yolo12n imgsz semantics)
+                pose_height = pose_width = max(pose_height, pose_width)
+                pose_predictor = YoloCornerPredictor.from_checkpoint(
+                    ckpt_dir or ".", name, imgsz=pose_height
+                )
+            else:
+                from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
+                    PosePredictor,
+                )
+
+                pose_predictor = PosePredictor.from_checkpoint(
+                    ckpt_dir or ".", name, pose_height, pose_width
+                )
         handler = make_handler(
             os.path.abspath(demo_dir), os.path.abspath(models_dir),
             predictor, (height, width),
@@ -249,11 +261,16 @@ def main() -> None:
                         help="enable the TPU /api/corners endpoint")
     parser.add_argument("--pose-height", type=int, default=480)
     parser.add_argument("--pose-width", type=int, default=640)
+    parser.add_argument("--pose-family", choices=["hrnet", "yolo"],
+                        default="hrnet",
+                        help="which corner model the checkpoint holds "
+                             "(yolo uses square imgsz = max(h, w))")
     args = parser.parse_args()
     DemoServer(
         args.demo_dir, args.models_dir, args.port, args.checkpoint,
         args.height, args.width,
         args.pose_checkpoint, args.pose_height, args.pose_width,
+        args.pose_family,
     ).serve_forever()
 
 

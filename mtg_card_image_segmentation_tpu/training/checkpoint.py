@@ -182,6 +182,34 @@ def load_checkpoint(
     return state, meta
 
 
+def load_params(
+    checkpoint_dir: str, name: str
+) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Template-free read of just (params, batch_stats, meta).
+
+    For inference/serving consumers that need no train state at all: unlike
+    ``load_checkpoint(params_only=True)`` this requires NO freshly-created
+    state — i.e. no ``model.init`` compile and no eager ``tx.init`` (which
+    on the remote-compile TPU relay dispatches one compile per optimizer
+    leaf — minutes of startup for zero value). Arrays come back as host
+    numpy; the consumer's first jit call puts them on device."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    raw = ckptr.restore(
+        path,
+        restore_args=jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        ),
+    )
+    meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return raw["params"], raw["batch_stats"], meta
+
+
 def latest_checkpoint_name(checkpoint_dir: str) -> Optional[str]:
     """Most recently written checkpoint under ``checkpoint_dir`` (for
     --resume without an explicit name)."""

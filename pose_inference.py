@@ -5,6 +5,12 @@ peak extraction w/ threshold, scale-to-original, visualization, timing).
 
   python pose_inference.py --checkpoint ckpts/best_model --image card.jpg
   python pose_inference.py --checkpoint ckpts/best_model --synthetic 4
+  python pose_inference.py --checkpoint runs/yolo/checkpoints/best_model \
+      --family yolo --synthetic 4
+
+--family yolo runs the same CLI against a YOLO12n-pose checkpoint (the
+reference splits this across inference_test.py and the ultralytics
+predict flow, *_yolo12n/model.py:215-264; here one CLI serves both).
 """
 
 from __future__ import annotations
@@ -23,6 +29,10 @@ def main() -> None:
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     parser.add_argument("--threshold", type=float, default=0.3)
+    parser.add_argument("--family", choices=["hrnet", "yolo"], default="hrnet",
+                        help="corner model family the checkpoint holds")
+    parser.add_argument("--imgsz", type=int, default=640,
+                        help="square YOLO input size (--family yolo)")
     parser.add_argument("--output-dir", default="pose_inference_out")
     parser.add_argument("--visualize", action="store_true")
     args = parser.parse_args()
@@ -39,34 +49,49 @@ def main() -> None:
     from mtg_card_image_segmentation_tpu.models import registry
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
     from mtg_card_image_segmentation_tpu.ops.resize import bilinear_resize
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
     cfg = Config.from_json(args.config) if args.config else pose_default_config()
     if args.set:
         cfg = cfg.with_cli(args.set)
-    h, w = cfg.pose.input_height, cfg.pose.input_width
 
-    model = registry.pose_from_config(cfg.pose)
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = jax.jit(lambda k: create_seg_state(model, tx, (1, h, w, 3), k))(
-        jax.random.key(0)
-    )
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
-    print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+    if args.family == "yolo":
+        from mtg_card_image_segmentation_tpu.serving import YoloCornerPredictor
 
-    @jax.jit
-    def infer(variables, images01):
-        """Preprocess = resize + /255-style [0,1] input (NO ImageNet norm —
-        inference_test.py:167-169), forward, peak-extract."""
-        x = bilinear_resize(images01, h, w)
-        heatmaps = model.apply(variables, x, train=False)
-        coords01, conf = hm_lib.decode_argmax(heatmaps)
-        return coords01, conf, heatmaps
+        h = w = args.imgsz
+        predictor = YoloCornerPredictor.from_checkpoint(
+            ckpt_dir or ".", name, imgsz=args.imgsz, threshold=args.threshold
+        )
+        print(f"loaded {args.checkpoint} (yolo12n_pose, imgsz={args.imgsz})")
+        variables = None
+
+        def infer(_, images01):
+            # stretch-resize to the square YOLO input (ultralytics imgsz
+            # semantics), /255 uint8 path, joint top-1 corner decode
+            x = jax.jit(lambda v: bilinear_resize(v, h, w))(images01)
+            u8 = jax.jit(
+                lambda v: jnp.clip(v * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            )(x)
+            px, conf = predictor.predict(u8)
+            return px / jnp.array([w - 1.0, h - 1.0]), conf, None
+
+    else:
+        model = registry.pose_from_config(cfg.pose)
+        h, w = cfg.pose.input_height, cfg.pose.input_width
+        # template-free params read — no init compile, no optimizer state
+        params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
+        variables = {"params": params, "batch_stats": batch_stats}
+        print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
+
+        @jax.jit
+        def infer(variables, images01):
+            """Preprocess = resize + /255-style [0,1] input (NO ImageNet norm —
+            inference_test.py:167-169), forward, peak-extract."""
+            x = bilinear_resize(images01, h, w)
+            heatmaps = model.apply(variables, x, train=False)
+            coords01, conf = hm_lib.decode_argmax(heatmaps)
+            return coords01, conf, heatmaps
 
     samples = []  # (name, (H0, W0, 3) float01 numpy)
     if args.image:
@@ -86,9 +111,7 @@ def main() -> None:
     results = []
     for sample_name, img in samples:
         t0 = time.perf_counter()
-        coords01, conf, _ = infer(
-            state.variables(), jnp.asarray(img)[None]
-        )
+        coords01, conf, _ = infer(variables, jnp.asarray(img)[None])
         coords01 = np.asarray(coords01)[0]  # fences the computation
         conf = np.asarray(conf)[0]
         dt_ms = (time.perf_counter() - t0) * 1e3

@@ -210,6 +210,73 @@ class TestPosePredictor:
         np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_yolo_corner_predictor_matches_evaluator_decode(self):
+        """YoloCornerPredictor (uint8 path) == the CornerEvaluator's
+        yolo_predict_step decode on the same float images, and per-corner
+        confidences come from the joint decode's kpt conf channel."""
+        from mtg_card_image_segmentation_tpu.evaluation.pose import (
+            yolo_predict_step,
+        )
+        from mtg_card_image_segmentation_tpu.models import create_model
+        from mtg_card_image_segmentation_tpu.serving import YoloCornerPredictor
+
+        s = 64
+        model = create_model("yolo12n_pose", compute_dtype="float32")
+        variables = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, s, s, 3)), train=False)
+        )(jax.random.key(0))
+        pred = YoloCornerPredictor(
+            variables["params"], variables["batch_stats"], imgsz=s,
+            dtype=jnp.float32,
+        )
+
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (2, s, s, 3), dtype=np.uint8)
+        px, conf, valid = pred.predict_valid(jnp.asarray(imgs))
+        assert px.shape == (2, 4, 2) and conf.shape == (2, 4)
+        assert valid.shape == (2, 4)
+
+        step = yolo_predict_step(model.apply)
+        ref_px, _ = step(variables, jnp.asarray(imgs, jnp.float32) / 255.0)
+        np.testing.assert_allclose(np.asarray(px), np.asarray(ref_px),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_yolo_corner_predictor_from_checkpoint(self, tmp_path):
+        """from_checkpoint restores trained params (params-only, optimizer
+        state discarded) and predicts identically to a directly-constructed
+        predictor — guards the restore path the server's --pose-family yolo
+        flag uses."""
+        from mtg_card_image_segmentation_tpu.config import OptimizerConfig
+        from mtg_card_image_segmentation_tpu.models import create_model
+        from mtg_card_image_segmentation_tpu.serving import YoloCornerPredictor
+        from mtg_card_image_segmentation_tpu.training import (
+            checkpoint as ckpt_lib,
+            create_optimizer,
+            create_seg_state,
+        )
+
+        s = 64
+        model = create_model("yolo12n_pose")
+        tx, _ = create_optimizer(OptimizerConfig(), 1, 1)
+        state = create_seg_state(model, tx, (1, s, s, 3), jax.random.key(7))
+        ckpt_lib.save_checkpoint(
+            str(tmp_path), "best_model", state, epoch=3, best_metric=1.0,
+            history={}, config={},
+        )
+
+        pred = YoloCornerPredictor.from_checkpoint(
+            str(tmp_path), "best_model", imgsz=s, dtype=jnp.float32
+        )
+        direct = YoloCornerPredictor(
+            state.params, state.batch_stats, imgsz=s, dtype=jnp.float32
+        )
+        rng = np.random.default_rng(11)
+        imgs = rng.integers(0, 256, (2, s, s, 3), dtype=np.uint8)
+        px, conf = pred.predict(jnp.asarray(imgs))
+        ref_px, ref_conf = direct.predict(jnp.asarray(imgs))
+        np.testing.assert_array_equal(np.asarray(px), np.asarray(ref_px))
+        np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))
+
     def test_refine_stays_within_quarter_px(self):
         """Sub-pixel refinement moves each corner <= 0.25 heatmap px/axis."""
         from mtg_card_image_segmentation_tpu.serving.pose_predictor import (

@@ -45,11 +45,7 @@ def main() -> None:
         PoseEvaluator,
     )
     from mtg_card_image_segmentation_tpu.models import create_model, registry
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
     cfg = pose_default_config()
     if args.set:
@@ -63,12 +59,9 @@ def main() -> None:
         h = w = args.imgsz
         model = create_model("yolo12n_pose")
 
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+    # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(
-        ckpt_dir or ".", name, state, params_only=True
-    )
+    params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
     # held-out synthetic stream: seeds disjoint from training (training uses
@@ -81,7 +74,7 @@ def main() -> None:
             )
             yield s.image, s.corners
 
-    variables = state.variables()
+    variables = {"params": params, "batch_stats": batch_stats}
     if args.family == "hrnet":
         evaluator = PoseEvaluator(model.apply, variables, (h, w))
     else:

@@ -34,11 +34,7 @@ def main() -> None:
     from mtg_card_image_segmentation_tpu.config import Config, default_config
     from mtg_card_image_segmentation_tpu.evaluation import SegEvaluator
     from mtg_card_image_segmentation_tpu.models import registry
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
     cfg = Config.from_json(args.config) if args.config else default_config()
     if args.set:
@@ -47,12 +43,9 @@ def main() -> None:
     batch = cfg.data.batch_size
 
     model = registry.from_config(cfg.model)
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = jax.jit(
-        lambda k: create_seg_state(model, tx, (1, h, w, 3), k)
-    )(jax.random.key(0))
+    # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+    params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
     if args.source == "synthetic":
@@ -80,7 +73,10 @@ def main() -> None:
             FilePipeline(ds, batch, h, w, augment=None, shuffle=False, drop_last=False)
         )
 
-    evaluator = SegEvaluator(model.apply, state.variables(), cfg.model.num_classes)
+    evaluator = SegEvaluator(
+        model.apply, {"params": params, "batch_stats": batch_stats},
+        cfg.model.num_classes,
+    )
     report = evaluator.evaluate(
         batches,
         output_dir=args.output_dir,

@@ -48,11 +48,7 @@ def main() -> None:
     )
     from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
     from mtg_card_image_segmentation_tpu.models import registry
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
     from mtg_card_image_segmentation_tpu.utils import count_parameters
 
     cfg = pose_default_config()
@@ -68,20 +64,19 @@ def main() -> None:
     model = registry.pose_from_config(
         dataclasses.replace(cfg.pose, compute_dtype="float32")
     )
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+    # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+    params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
     if args.info:
         print(json.dumps({
             "epoch": meta.get("epoch"), "best_metric": meta.get("best_metric"),
-            "parameters": count_parameters(state.params),
+            "parameters": count_parameters(params),
             "input": [1, 3, h, w], "heatmaps": [1, k, hm_h, hm_w],
         }, indent=2))
         return
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
-    folded = fold_batch_norm(state.params, state.batch_stats)
+    folded = fold_batch_norm(params, batch_stats)
     onnx_model = export_pose_model(
         folded, input_hw=(h, w), heatmap_hw=(hm_h, hm_w),
         num_keypoints=k, opset=19,
@@ -108,7 +103,7 @@ def main() -> None:
             rng = np.random.default_rng(0)
             x_nchw = rng.random((1, 3, h, w)).astype(np.float32)  # [0,1] domain
             ref = model.apply(
-                state.variables(),
+                {"params": params, "batch_stats": batch_stats},
                 jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))), train=False,
             )
             ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
@@ -144,7 +139,7 @@ def main() -> None:
         "input": {"name": "input", "shape": [1, 3, h, w], "dtype": "float32",
                   "normalization": "/255 only (no ImageNet normalization)"},
         "output": {"name": "heatmaps", "shape": [1, k, hm_h, hm_w]},
-        "parameters": count_parameters(state.params),
+        "parameters": count_parameters(params),
         "opset": 19,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),

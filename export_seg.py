@@ -123,11 +123,7 @@ def main() -> None:
     )
     from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import make_runner
     from mtg_card_image_segmentation_tpu.models import create_model
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
     from mtg_card_image_segmentation_tpu.utils import count_parameters
 
     cfg = default_config()
@@ -136,10 +132,11 @@ def main() -> None:
     h, w = cfg.model.input_height, cfg.model.input_width
 
     model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
+    # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+    params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
+    params = jax.tree.map(jnp.asarray, params)
+    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
     slim_overrides = None
@@ -150,25 +147,22 @@ def main() -> None:
             slim_seg_state,
         )
 
-        dead = dead_expansion_channels(state.params)
+        dead = dead_expansion_channels(params)
         n_dead = sum(v.size for v in dead.values())
         if n_dead == 0:
             print("--slim: no dead expansion channels found (run "
                   "prune_seg.py --method expansion first); exporting dense")
         else:
-            full_n = param_count(state.params)
+            full_n = param_count(params)
             slim_params, slim_stats, slim_overrides = slim_seg_state(
-                state.params, state.batch_stats
+                params, batch_stats
             )
             model = create_model(
                 "lraspp_mobilenet_v3_large", compute_dtype="float32",
                 expanded_overrides=slim_overrides,
             )
-            state = create_seg_state(model, tx, (1, h, w, 3), jax.random.key(0))
-            state = state.replace(
-                params=jax.tree.map(jnp.asarray, slim_params),
-                batch_stats=jax.tree.map(jnp.asarray, slim_stats),
-            )
+            params = jax.tree.map(jnp.asarray, slim_params)
+            batch_stats = jax.tree.map(jnp.asarray, slim_stats)
             print(
                 f"--slim: removed {n_dead} expansion channels across "
                 f"{len(dead)} blocks; params {full_n:,} -> "
@@ -176,7 +170,7 @@ def main() -> None:
                 f"({param_count(slim_params) / full_n:.1%})"
             )
 
-    folded = fold_batch_norm(state.params, state.batch_stats)
+    folded = fold_batch_norm(params, batch_stats)
     onnx_model = export_seg_model(
         folded, input_hw=(h, w), num_classes=cfg.model.num_classes,
         inter_channels=cfg.model.inter_channels, opset=cfg.export.opset,
@@ -221,7 +215,7 @@ def main() -> None:
             else:
                 flat[prefix + k] = np.asarray(v)
 
-    flatten({"params": state.params, "batch_stats": state.batch_stats})
+    flatten({"params": params, "batch_stats": batch_stats})
     np.savez_compressed(os.path.join(args.output_dir, "params.npz"), **flat)
 
     parity = {}
@@ -235,7 +229,8 @@ def main() -> None:
         rng = np.random.default_rng(0)
         x_nchw = rng.standard_normal((1, 3, h, w)).astype(np.float32)
         ref = model.apply(
-            state.variables(), jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))),
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))),
             train=False,
         )
         ref_nchw = np.transpose(np.asarray(ref), (0, 3, 1, 2))
@@ -323,7 +318,7 @@ def main() -> None:
                   "normalization": "ImageNet"},
         "output": {"name": "output", "shape": [1, cfg.model.num_classes, h, w],
                    "classes": ["background", "card"]},
-        "parameters": count_parameters(state.params),
+        "parameters": count_parameters(params),
         "slimmed_expansions": list(slim_overrides) if slim_overrides else None,
         "opset": cfg.export.opset,
         "checkpoint_epoch": meta.get("epoch"),

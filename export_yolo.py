@@ -50,33 +50,26 @@ def main() -> None:
     from mtg_card_image_segmentation_tpu.export.onnx_yolo import export_yolo_model
     from mtg_card_image_segmentation_tpu.models import create_model
     from mtg_card_image_segmentation_tpu.models.yolo12_pose import YOLO12Pose
-    from mtg_card_image_segmentation_tpu.training import (
-        checkpoint as ckpt_lib,
-        create_optimizer,
-        create_seg_state,
-    )
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
     from mtg_card_image_segmentation_tpu.utils import count_parameters
 
     size = args.imgsz
     cfg = default_config()
     model = create_model("yolo12n_pose", compute_dtype="float32")
-    tx, _ = create_optimizer(cfg.optimizer, 1, 1)
-    state = create_seg_state(model, tx, (1, size, size, 3), jax.random.key(0))
+    # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    state, meta = ckpt_lib.load_checkpoint(
-        ckpt_dir or ".", name, state, params_only=True
-    )
+    params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
     if args.info:
         print(json.dumps({
             "epoch": meta.get("epoch"), "best_metric": meta.get("best_metric"),
-            "parameters": count_parameters(state.params),
+            "parameters": count_parameters(params),
             "input": [1, 3, size, size],
             "output0": [1, 17, sum((size // s) ** 2 for s in (8, 16, 32))],
         }, indent=2))
         return
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
-    folded = fold_batch_norm(state.params, state.batch_stats)
+    folded = fold_batch_norm(params, batch_stats)
     onnx_model = export_yolo_model(folded, imgsz=size, opset=19)
     from mtg_card_image_segmentation_tpu.export.onnx_optimize import optimize
 
@@ -183,7 +176,7 @@ def main() -> None:
                       "reordering — a naive per-channel argmax regresses to "
                       "corner-identity swaps on ~2% of rotated cards",
         },
-        "parameters": count_parameters(state.params),
+        "parameters": count_parameters(params),
         "opset": 19,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),

@@ -63,19 +63,10 @@ def main() -> None:
     if args.checkpoint:
         import os
 
-        from mtg_card_image_segmentation_tpu.config import default_config
-        from mtg_card_image_segmentation_tpu.training import (
-            checkpoint as ckpt_lib,
-            create_optimizer,
-            create_seg_state,
-        )
+        from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
 
-        tx, _ = create_optimizer(default_config().optimizer, 1, 1)
-        state = create_seg_state(model, tx, (1, 64, 48, 3), jax.random.key(0))
         ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-        state, _ = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state,
-                                            params_only=True)
-        params, batch_stats = state.params, state.batch_stats
+        params, batch_stats, _ = ckpt_lib.load_params(ckpt_dir or ".", name)
     if args.slim:
         from mtg_card_image_segmentation_tpu.compression.slim import slim_seg_state
 

@@ -87,21 +87,15 @@ def main() -> None:
         from mtg_card_image_segmentation_tpu.models import create_model
         from mtg_card_image_segmentation_tpu.training import (
             checkpoint as ckpt_lib,
-            create_optimizer,
-            create_seg_state,
         )
-        from mtg_card_image_segmentation_tpu.config import default_config
         from mtg_card_image_segmentation_tpu.utils.plots import plot_predictions
 
         model = create_model("lraspp_mobilenet_v3_large")
-        tx, _ = create_optimizer(default_config().optimizer, 1, 1)
-        state = create_seg_state(
-            model, tx, (1, args.height, args.width, 3), jax.random.key(0)
-        )
         ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-        state, _ = ckpt_lib.load_checkpoint(ckpt_dir or ".", name, state, params_only=True)
+        params, batch_stats, _ = ckpt_lib.load_params(ckpt_dir or ".", name)
         logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
-            state.variables(), normalize_only(batch.image)
+            {"params": params, "batch_stats": batch_stats},
+            normalize_only(batch.image),
         )
         preds = np.asarray(jnp.argmax(logits, -1))
         conf = np.asarray(jax.nn.softmax(logits, -1)[..., 1])

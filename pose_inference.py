@@ -66,14 +66,15 @@ def main() -> None:
         print(f"loaded {args.checkpoint} (yolo12n_pose, imgsz={args.imgsz})")
         variables = None
 
-        def infer(_, images01):
+        @jax.jit
+        def _to_u8(images01):
             # stretch-resize to the square YOLO input (ultralytics imgsz
-            # semantics), /255 uint8 path, joint top-1 corner decode
-            x = jax.jit(lambda v: bilinear_resize(v, h, w))(images01)
-            u8 = jax.jit(
-                lambda v: jnp.clip(v * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-            )(x)
-            px, conf = predictor.predict(u8)
+            # semantics) and requantize for the predictor's uint8 contract
+            x = bilinear_resize(images01, h, w)
+            return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+        def infer(_, images01):
+            px, conf = predictor.predict(_to_u8(images01))
             return px / jnp.array([w - 1.0, h - 1.0]), conf, None
 
     else:

@@ -126,6 +126,20 @@ class PosePredictor:
         px, conf = self.predict(images_u8)
         return px, conf, conf >= self.threshold
 
+    def scale_to_original(self, px, original_hw):
+        """Map (..., 2) xy coords from model-input pixels to an
+        ``original_hw`` frame the input was stretch-resized from. The HRNet
+        chain is align-corners end to end (heatmap targets, decode,
+        coords01_to_pixels all use the size-1 convention), so the inverse
+        map is the (size-1) ratio."""
+        import numpy as np
+
+        oh, ow = original_hw
+        return px * np.asarray(
+            [(ow - 1) / (self.width - 1), (oh - 1) / (self.height - 1)],
+            dtype=np.float32,
+        )
+
 
 class YoloCornerPredictor:
     """YOLO-family corner serving path — same ``predict``/``predict_valid``
@@ -191,3 +205,19 @@ class YoloCornerPredictor:
     def predict_valid(self, images_u8):
         px, conf = self.predict(images_u8)
         return px, conf, conf >= self.threshold
+
+    def scale_to_original(self, px, original_hw):
+        """Map (..., 2) xy coords from model-input pixels to an
+        ``original_hw`` frame the input was stretch-resized from. YOLO
+        coords live in the training frame's index space, and the resize is
+        half-pixel (align_corners=False, both cv2.INTER_LINEAR and
+        ops.resize.bilinear_resize), so the accurate inverse map is
+        (x + 0.5) * scale - 0.5 — a plain (size-1) ratio drifts up to
+        ~0.5 * (ow/width - 1) px at the far corners."""
+        import numpy as np
+
+        oh, ow = original_hw
+        s = np.asarray(
+            [ow / self.width, oh / self.height], dtype=np.float32
+        )
+        return (px + 0.5) * s - 0.5

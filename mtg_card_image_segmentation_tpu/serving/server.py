@@ -159,10 +159,13 @@ def make_handler(demo_dir: str, models_dir: str, predictor=None, model_hw=None,
                 t0 = time.perf_counter()
                 px, conf, valid = pose_predictor.predict_valid(img_r[None])
                 dt = (time.perf_counter() - t0) * 1e3
-                px = np.asarray(px)[0]
                 # scale back to the original image (inference_test.py
-                # scale-to-original step)
-                px = px * np.asarray([(ow - 1) / (w - 1), (oh - 1) / (h - 1)])
+                # scale-to-original step); the predictor knows its own
+                # coordinate convention (HRNet align-corners vs YOLO
+                # half-pixel)
+                px = pose_predictor.scale_to_original(
+                    np.asarray(px)[0], (oh, ow)
+                )
                 body = json.dumps(
                     {
                         "corners": [[round(float(x), 2), round(float(y), 2)]

@@ -135,6 +135,34 @@ def try_save_checkpoint(log, *args, **kwargs) -> Optional[str]:
         return None
 
 
+def _restore_numpy_subtree(path: str, keys: Tuple[str, ...]) -> Dict[str, Any]:
+    """Template-free partial restore of top-level ``keys`` as host numpy
+    (platform-portable: no sharding metadata, so TPU-written checkpoints
+    load in CPU tools). Subtrees not named (e.g. opt_state, 2x the params
+    bytes for Adam) are never read from disk."""
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    want = {k: meta_tree[k] for k in keys}
+    return ckptr.restore(
+        path,
+        args=ocp.args.PyTreeRestore(
+            item=want,
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), want
+            ),
+            partial_restore=True,
+        ),
+    )
+
+
+def _read_meta(checkpoint_dir: str, name: str) -> Dict[str, Any]:
+    meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 def load_checkpoint(
     checkpoint_dir: str, name: str, state, params_only: bool = False
 ) -> Tuple[Any, Dict[str, Any]]:
@@ -147,18 +175,9 @@ def load_checkpoint(
     checkpoint."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     if params_only:
-        # template-free read (returns the raw tree; the writer's opt_state
-        # structure is irrelevant), then adopt only params/batch_stats/step.
-        # Restore as host numpy: no sharding metadata needed, so checkpoints
-        # written on one platform (axon TPU) load on any other (CPU tools).
-        ckptr = ocp.PyTreeCheckpointer()
-        meta_tree = ckptr.metadata(path).item_metadata.tree
-        raw = ckptr.restore(
-            path,
-            restore_args=jax.tree.map(
-                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
-            ),
-        )
+        # adopt only params/batch_stats/step; the writer's opt_state
+        # structure is irrelevant (and is never read from disk)
+        raw = _restore_numpy_subtree(path, ("params", "batch_stats", "step"))
         state = state.replace(
             params=jax.tree.map(jnp_asarray, raw["params"]),
             batch_stats=jax.tree.map(jnp_asarray, raw["batch_stats"]),
@@ -174,12 +193,7 @@ def load_checkpoint(
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
-    meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
-    meta: Dict[str, Any] = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return state, meta
+    return state, _read_meta(checkpoint_dir, name)
 
 
 def load_params(
@@ -191,23 +205,16 @@ def load_params(
     ``load_checkpoint(params_only=True)`` this requires NO freshly-created
     state — i.e. no ``model.init`` compile and no eager ``tx.init`` (which
     on the remote-compile TPU relay dispatches one compile per optimizer
-    leaf — minutes of startup for zero value). Arrays come back as host
-    numpy; the consumer's first jit call puts them on device."""
+    leaf — minutes of startup for zero value). The opt_state subtree (2x
+    the params bytes for Adam) is not even read from disk. Restored as host
+    numpy (platform-portable), then converted to default-device jax arrays
+    ONCE here — handing numpy trees to consumers would silently re-upload
+    every weight on each jitted call."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
-    ckptr = ocp.PyTreeCheckpointer()
-    meta_tree = ckptr.metadata(path).item_metadata.tree
-    raw = ckptr.restore(
-        path,
-        restore_args=jax.tree.map(
-            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
-        ),
-    )
-    meta_path = os.path.join(checkpoint_dir, name + ".meta.json")
-    meta: Dict[str, Any] = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return raw["params"], raw["batch_stats"], meta
+    raw = _restore_numpy_subtree(path, ("params", "batch_stats"))
+    params = jax.tree.map(jnp_asarray, raw["params"])
+    batch_stats = jax.tree.map(jnp_asarray, raw["batch_stats"])
+    return params, batch_stats, _read_meta(checkpoint_dir, name)
 
 
 def latest_checkpoint_name(checkpoint_dir: str) -> Optional[str]:

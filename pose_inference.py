@@ -57,6 +57,9 @@ def main() -> None:
 
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
     if args.family == "yolo":
+        if args.config or args.set:
+            parser.error("--family yolo is configured by --imgsz/--threshold "
+                         "only; --config/--set apply to the hrnet family")
         from mtg_card_image_segmentation_tpu.serving import YoloCornerPredictor
 
         h = w = args.imgsz
@@ -74,8 +77,12 @@ def main() -> None:
             return jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
         def infer(_, images01):
+            # map back to the ORIGINAL frame with the YOLO half-pixel
+            # convention, then to the loop's coords01 (size-1) contract
+            h0, w0 = images01.shape[1:3]
             px, conf = predictor.predict(_to_u8(images01))
-            return px / jnp.array([w - 1.0, h - 1.0]), conf, None
+            px0 = predictor.scale_to_original(px, (h0, w0))
+            return px0 / jnp.array([w0 - 1.0, h0 - 1.0]), conf, None
 
     else:
         model = registry.pose_from_config(cfg.pose)

@@ -25,6 +25,8 @@ class _StubSeg:
 
 
 class _StubPose:
+    height, width = 64, 96
+
     def predict_valid(self, imgs):
         b = imgs.shape[0]
         px = np.tile(np.asarray([[10.0, 20.0], [30.0, 20.0],
@@ -32,6 +34,14 @@ class _StubPose:
                      (b, 1, 1))
         conf = np.full((b, 4), 0.9, np.float32)
         return px, conf, conf >= 0.3
+
+    def scale_to_original(self, px, original_hw):
+        # align-corners convention (= PosePredictor.scale_to_original)
+        oh, ow = original_hw
+        return px * np.asarray(
+            [(ow - 1) / (self.width - 1), (oh - 1) / (self.height - 1)],
+            np.float32,
+        )
 
 
 @pytest.fixture(scope="module")

@@ -277,6 +277,30 @@ class TestPosePredictor:
         np.testing.assert_array_equal(np.asarray(px), np.asarray(ref_px))
         np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))
 
+    def test_scale_to_original_conventions(self):
+        """HRNet maps align-corners ((size-1) ratio: endpoints map to
+        endpoints); YOLO maps half-pixel ((x+0.5)*s-0.5: pixel CENTERS map
+        to pixel centers, matching cv2/bilinear_resize align_corners=False).
+        The two deliberately differ — each must invert its own chain."""
+
+        class _P:  # minimal hosts for the two unbound conventions
+            width = height = 64
+
+        from mtg_card_image_segmentation_tpu.serving import (
+            PosePredictor,
+            YoloCornerPredictor,
+        )
+
+        px = np.asarray([[0.0, 0.0], [63.0, 63.0]], np.float32)
+        hr = PosePredictor.scale_to_original(_P(), px, (480, 640))
+        np.testing.assert_allclose(hr[0], [0.0, 0.0])
+        np.testing.assert_allclose(hr[1], [639.0, 479.0])
+
+        yl = YoloCornerPredictor.scale_to_original(_P(), px, (480, 640))
+        # half-pixel: x0 = (x + 0.5) * (640 / 64) - 0.5
+        np.testing.assert_allclose(yl[0], [4.5, 3.25])
+        np.testing.assert_allclose(yl[1], [634.5, 475.75])
+
     def test_refine_stays_within_quarter_px(self):
         """Sub-pixel refinement moves each corner <= 0.25 heatmap px/axis."""
         from mtg_card_image_segmentation_tpu.serving.pose_predictor import (

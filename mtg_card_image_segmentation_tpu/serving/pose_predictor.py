@@ -69,6 +69,7 @@ class PosePredictor:
         refine: bool = True,
         threshold: float = 0.3,
         use_pallas: bool = True,
+        mesh=None,
     ) -> None:
         model = create_model(
             "hrnet_pose", num_keypoints=num_keypoints,
@@ -80,7 +81,6 @@ class PosePredictor:
         self.height, self.width = height, width
         self.threshold = threshold
 
-        @jax.jit
         def predict(params, stats, images_u8):
             if use_pallas:
                 x = fused_normalize(images_u8, out_dtype=dtype)
@@ -101,7 +101,15 @@ class PosePredictor:
             px = hm_lib.coords01_to_pixels(coords01, (height, width))
             return px, conf.astype(jnp.float32)
 
-        self._predict = predict
+        # multi-chip: batch-sharded over the mesh's 'data' axis (see
+        # predictor.maybe_shard_predict)
+        from mtg_card_image_segmentation_tpu.serving.predictor import (
+            maybe_shard_predict,
+        )
+
+        self._predict = maybe_shard_predict(
+            predict, mesh, n_param_args=2, n_outputs=2
+        )
 
     @classmethod
     def from_checkpoint(
@@ -162,6 +170,7 @@ class YoloCornerPredictor:
         imgsz: int = 640,
         dtype=jnp.bfloat16,
         threshold: float = 0.25,
+        mesh=None,
     ) -> None:
         from mtg_card_image_segmentation_tpu.models.yolo12_pose import (
             top1_detection,
@@ -176,7 +185,6 @@ class YoloCornerPredictor:
         self.height = self.width = imgsz
         self.threshold = threshold
 
-        @jax.jit
         def predict(params, stats, images_u8):
             x = images_u8.astype(dtype) * (1.0 / 255.0)
             boxes, scores, kpts = model.apply(
@@ -185,7 +193,13 @@ class YoloCornerPredictor:
             _, _, kp = top1_detection(boxes, scores, kpts)
             return kp[..., :2].astype(jnp.float32), kp[..., 2].astype(jnp.float32)
 
-        self._predict = predict
+        from mtg_card_image_segmentation_tpu.serving.predictor import (
+            maybe_shard_predict,
+        )
+
+        self._predict = maybe_shard_predict(
+            predict, mesh, n_param_args=2, n_outputs=2
+        )
 
     @classmethod
     def from_checkpoint(

@@ -214,6 +214,33 @@ def _head_score_s8(head_params, low, high, dtype):
     return hs + ls + (b_hi_d + b_lo_d)
 
 
+def maybe_shard_predict(predict, mesh, n_param_args: int = 1, n_outputs: int = 1):
+    """jit ``predict(*param_trees, images)`` for serving, batch-sharded over
+    the mesh's 'data' axis when a multi-device ``mesh`` is given.
+
+    shard_map (not bare GSPMD): each device runs the FULL fused program —
+    Pallas kernels included, which GSPMD cannot partition — on its batch
+    slice, the ``n_param_args`` leading pytrees replicated, zero
+    collectives (per-image computation is embarrassingly parallel). Batch
+    must divide mesh.shape['data']."""
+    if mesh is None or mesh.devices.size <= 1:
+        return jax.jit(predict)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if "data" not in mesh.axis_names:
+        raise ValueError(f"serving mesh needs a 'data' axis, got {mesh.axis_names}")
+    out_specs = P("data") if n_outputs == 1 else tuple([P("data")] * n_outputs)
+    return jax.jit(
+        shard_map(
+            predict, mesh=mesh,
+            in_specs=tuple([P()] * n_param_args + [P("data")]),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+
 def _dequant_jax(tree, dtype):
     """In-jit dequantization of a quantize_params tree: int8 kernels + per-
     channel scales -> dense ``dtype`` kernels. XLA fuses the multiply into
@@ -340,29 +367,7 @@ class SegPredictor:
                 return jnp.argmax(full, axis=-1).astype(jnp.uint8)
 
         self.mesh = mesh
-        if mesh is not None and mesh.devices.size > 1:
-            # Multi-chip serving: batch-sharded SPMD over the mesh's 'data'
-            # axis via shard_map — each device runs the FULL fused program
-            # (Pallas kernels included; GSPMD alone cannot partition a
-            # pallas_call) on its batch slice, params replicated, zero
-            # collectives (per-image computation is embarrassingly
-            # parallel). Batch must divide mesh.shape['data'].
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            if "data" not in mesh.axis_names:
-                raise ValueError(
-                    f"serving mesh needs a 'data' axis, got {mesh.axis_names}"
-                )
-            self._predict = jax.jit(
-                shard_map(
-                    predict, mesh=mesh,
-                    in_specs=(P(), P("data")), out_specs=P("data"),
-                    check_vma=False,
-                )
-            )
-        else:
-            self._predict = jax.jit(predict)
+        self._predict = maybe_shard_predict(predict, mesh)
 
     @classmethod
     def from_checkpoint(

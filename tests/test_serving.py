@@ -301,6 +301,30 @@ class TestPosePredictor:
         np.testing.assert_array_equal(np.asarray(px), np.asarray(ref_px))
         np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))
 
+    def test_yolo_corner_predictor_mesh_sharded(self, mesh8):
+        """Mesh-sharded corner serving == single-device, outputs distributed."""
+        from mtg_card_image_segmentation_tpu.models import create_model
+        from mtg_card_image_segmentation_tpu.serving import YoloCornerPredictor
+
+        s = 64
+        model = create_model("yolo12n_pose", compute_dtype="float32")
+        variables = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, s, s, 3)), train=False)
+        )(jax.random.key(0))
+        kw = dict(imgsz=s, dtype=jnp.float32)
+        base = YoloCornerPredictor(
+            variables["params"], variables["batch_stats"], **kw
+        )
+        sharded = YoloCornerPredictor(
+            variables["params"], variables["batch_stats"], mesh=mesh8, **kw
+        )
+        imgs = np.random.default_rng(5).integers(0, 256, (8, s, s, 3), np.uint8)
+        px0, c0 = base.predict(imgs)
+        px1, c1 = sharded.predict(imgs)
+        assert len(px1.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(px0), np.asarray(px1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
     def test_scale_to_original_conventions(self):
         """HRNet maps align-corners ((size-1) ratio: endpoints map to
         endpoints); YOLO maps half-pixel ((x+0.5)*s-0.5: pixel CENTERS map

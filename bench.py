@@ -48,6 +48,10 @@ def main() -> None:
                         help="int8-weight serving mode (per-channel symmetric "
                              "quantized kernels in HBM, dequantized in-jit; "
                              "BASELINE config #5 'bf16/int8 pipeline')")
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="batch-shard serving over a data mesh of this "
+                             "size (-1 = all local devices); 1 = single chip "
+                             "(the driver's headline configuration)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -74,11 +78,17 @@ def main() -> None:
         n_slim = sum(o is not None for o in overrides)
         if args.verbose:
             print(f"# slim: {n_slim} blocks narrowed")
+    mesh = None
+    if args.mesh_data != 1:
+        from mtg_card_image_segmentation_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
     # the serving fast path: folded BN + bf16 + fused Pallas normalize/decode,
     # uint8 in -> uint8 mask out (what a deployed consumer sends/receives)
     predictor = SegPredictor(
         params, batch_stats, args.size, args.size,
         quantize="int8" if args.int8 else None,
+        mesh=mesh,
     )
 
     def forward(images_u8):

@@ -21,6 +21,10 @@ def main() -> None:
     parser.add_argument("--output-dir", default="eval_out")
     parser.add_argument("--save-plots", action="store_true")
     parser.add_argument("--failure-threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--worst-k", type=int, default=8,
+        help="save the k lowest-IoU cases as panels even above the threshold",
+    )
     args = parser.parse_args()
 
     import os
@@ -82,6 +86,7 @@ def main() -> None:
         output_dir=args.output_dir,
         failure_iou_threshold=args.failure_threshold,
         save_plots=args.save_plots,
+        worst_k=args.worst_k,
     )
     m = report["metrics"]
     print(json.dumps({k: round(v, 4) for k, v in m.items()}, indent=2))

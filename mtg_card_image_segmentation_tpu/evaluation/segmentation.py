@@ -59,14 +59,24 @@ class SegEvaluator:
         failure_iou_threshold: float = 0.5,
         save_plots: bool = False,
         max_failures: int = 16,
+        worst_k: int = 8,
     ) -> Dict:
         """Run the full evaluation. Returns the report dict (and writes
-        report.json + plots under ``output_dir`` when given)."""
+        report.json + plots under ``output_dir`` when given).
+
+        Failure mining is two-tier: images below ``failure_iou_threshold``
+        are recorded as failures (train/evaluate.py:240-295 semantics), and
+        independently the ``worst_k`` lowest-IoU images are kept as viewable
+        panels even when nothing crosses the threshold — a model good enough
+        to clear 0.5 everywhere still has a worst tail worth looking at."""
         cm_total = np.zeros((self.num_classes, self.num_classes), np.int64)
         ious: List[float] = []
         failures: List[Dict] = []
         failure_arrays: List[Tuple] = []
+        # running worst-k buffer: list of (iou, global_index, arrays-tuple)
+        worst: List[Tuple] = []
         sample_panels = None
+        seen = 0
 
         for batch_idx, batch in enumerate(batches):
             # batches yield (images, masks) or (images, masks, valid) — the
@@ -105,6 +115,25 @@ class SegEvaluator:
                         float(per_iou[i]),
                     )
                 )
+            if worst_k > 0:
+                # merge this batch's candidates into the running worst-k
+                order = np.argsort(per_iou)[:worst_k]
+                for i in order:
+                    worst.append(
+                        (
+                            float(per_iou[i]),
+                            seen + int(i),
+                            (
+                                np.asarray(images[int(i)]),
+                                np.asarray(masks[int(i)]),
+                                np.asarray(preds[int(i)]),
+                                np.asarray(conf[int(i)]),
+                            ),
+                        )
+                    )
+                worst.sort(key=lambda t: t[0])
+                del worst[worst_k:]
+            seen += valid
             if sample_panels is None:
                 sample_panels = (
                     np.asarray(images[:4]),
@@ -125,6 +154,9 @@ class SegEvaluator:
                 "threshold": failure_iou_threshold,
             },
             "failures": failures,
+            "worst_cases": [
+                {"index": idx, "iou": iou} for iou, idx, _ in worst
+            ],
         }
         # headline targets from the reference README (train/README.md:279-281)
         m = report["metrics"]
@@ -136,9 +168,9 @@ class SegEvaluator:
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
-            if failure_arrays:
-                # image/GT/pred/confidence panel per mined failure
-                # (train/evaluate.py:240-295)
+            if failure_arrays or worst:
+                # image/GT/pred/confidence panel per mined failure and per
+                # worst-k case (train/evaluate.py:240-295)
                 fdir = os.path.join(output_dir, "failures")
                 os.makedirs(fdir, exist_ok=True)
                 for rank, (img, msk, prd, cnf, iou) in enumerate(failure_arrays):
@@ -148,6 +180,15 @@ class SegEvaluator:
                         confidences=cnf[None],
                     )
                     failures[rank]["panel"] = os.path.relpath(path, output_dir)
+                for rank, (iou, idx, (img, msk, prd, cnf)) in enumerate(worst):
+                    path = plots_lib.plot_predictions(
+                        img[None], msk[None], prd[None],
+                        os.path.join(fdir, f"worst_{rank:02d}_iou{iou:.3f}.png"),
+                        confidences=cnf[None],
+                    )
+                    report["worst_cases"][rank]["panel"] = os.path.relpath(
+                        path, output_dir
+                    )
             with open(os.path.join(output_dir, "evaluation_report.json"), "w") as f:
                 json.dump(report, f, indent=2)
             if save_plots:

@@ -83,6 +83,31 @@ def test_seg_evaluator_failure_panels(tmp_path):
     assert all("panel" in f for f in data["failures"])
 
 
+def test_seg_evaluator_worst_case_panels(tmp_path):
+    """Even a model with zero below-threshold failures writes worst-k
+    panels — the QA loop always has a worst tail to look at."""
+    model = _PerfectSegModel()
+    rng = np.random.default_rng(3)
+    images = rng.uniform(0, 1, (12, 16, 16, 3)).astype(np.float32)
+    masks = (images[..., 0] > 0.5).astype(np.int32)
+    batches = [
+        (jnp.asarray(images[:6]), jnp.asarray(masks[:6])),
+        (jnp.asarray(images[6:]), jnp.asarray(masks[6:])),
+    ]
+    ev = SegEvaluator(model.apply, {}, 2)
+    report = ev.evaluate(batches, output_dir=str(tmp_path), worst_k=3)
+    assert report["failures"] == []
+    assert len(report["worst_cases"]) == 3
+    # sorted ascending by IoU, global indices within range
+    ious = [w["iou"] for w in report["worst_cases"]]
+    assert ious == sorted(ious)
+    assert all(0 <= w["index"] < 12 for w in report["worst_cases"])
+    for w in report["worst_cases"]:
+        panel = tmp_path / w["panel"]
+        assert panel.is_file() and panel.stat().st_size > 1000
+        assert "failures/" in w["panel"]
+
+
 def test_pose_evaluator_report(tmp_path):
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm
 

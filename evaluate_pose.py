@@ -29,6 +29,10 @@ def main() -> None:
     parser.add_argument("--batches", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=24)
     parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
+    parser.add_argument(
+        "--worst-k", type=int, default=8,
+        help="save the k highest-error cases as GT-vs-pred corner panels",
+    )
     args = parser.parse_args()
 
     import jax
@@ -80,7 +84,9 @@ def main() -> None:
     else:
         evaluator = CornerEvaluator(model.apply, variables, (h, w))
 
-    report = evaluator.evaluate(batches(), output_dir=out_dir)
+    report = evaluator.evaluate(
+        batches(), output_dir=out_dir, worst_k=args.worst_k
+    )
     print(json.dumps({k: v for k, v in report.items() if k != "per_corner"}, indent=2))
     print(f"report -> {out_dir}/pose_evaluation.json")
 

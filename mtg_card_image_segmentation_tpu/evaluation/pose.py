@@ -55,10 +55,14 @@ class PoseEvaluator:
         self,
         batches: Iterable,  # (images, _, corners_px) or (images, corners_px)
         output_dir: Optional[str] = None,
+        worst_k: int = 8,
     ) -> Dict:
         all_err: List[np.ndarray] = []
         all_conf: List[np.ndarray] = []
         times: List[float] = []
+        # running worst-k by max corner error: (max_err, global_idx, img, gt, pred)
+        worst: List[tuple] = []
+        seen = 0
         warmed_up = False
         for batch in batches:
             images, corners = batch[0], batch[-1]
@@ -77,6 +81,21 @@ class PoseEvaluator:
             err = np.sqrt(((px - c) ** 2).sum(-1))
             all_err.append(err)
             all_conf.append(conf)
+            if worst_k > 0:
+                per_img = err.max(axis=1)
+                for i in np.argsort(-per_img)[:worst_k]:
+                    worst.append(
+                        (
+                            float(per_img[i]),
+                            seen + int(i),
+                            np.asarray(images[int(i)]),
+                            c[int(i)],
+                            px[int(i)],
+                        )
+                    )
+                worst.sort(key=lambda t: -t[0])
+                del worst[worst_k:]
+            seen += int(err.shape[0])
 
         err = np.concatenate(all_err)  # (N, 4)
         conf = np.concatenate(all_conf)
@@ -109,8 +128,24 @@ class PoseEvaluator:
             "mean_err_target<8px": report["mean_error_px"] < 8,
         }
 
+        report["worst_cases"] = [
+            {"index": idx, "max_error_px": e} for e, idx, *_ in worst
+        ]
+
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
+            if worst:
+                # viewable GT-vs-pred corner panels for the worst cases —
+                # the pose analog of the seg failure images
+                # (train/evaluate.py:240-295)
+                fdir = os.path.join(output_dir, "failures")
+                os.makedirs(fdir, exist_ok=True)
+                for rank, (e, idx, img, gt, pred) in enumerate(worst):
+                    path = os.path.join(fdir, f"worst_{rank:02d}_err{e:.1f}px.png")
+                    self._plot_corner_panel(img, gt, pred, e, path)
+                    report["worst_cases"][rank]["panel"] = os.path.relpath(
+                        path, output_dir
+                    )
             with open(os.path.join(output_dir, "pose_evaluation.json"), "w") as f:
                 json.dump(report, f, indent=2)
             self._write_text_report(report, os.path.join(output_dir, "report.txt"))
@@ -118,6 +153,35 @@ class PoseEvaluator:
                 err, os.path.join(output_dir, "error_distribution.png")
             )
         return report
+
+    @staticmethod
+    def _plot_corner_panel(
+        img: np.ndarray, gt: np.ndarray, pred: np.ndarray, max_err: float, path: str
+    ) -> None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        disp = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+        fig, ax = plt.subplots(figsize=(5, 6))
+        ax.imshow(disp)
+        gt_closed = np.vstack([gt, gt[:1]])
+        pr_closed = np.vstack([pred, pred[:1]])
+        ax.plot(gt_closed[:, 0], gt_closed[:, 1], "g-o", ms=4, label="ground truth")
+        ax.plot(pr_closed[:, 0], pr_closed[:, 1], "r--x", ms=6, label="prediction")
+        for k, name in enumerate(CORNER_NAMES):
+            d = float(np.sqrt(((pred[k] - gt[k]) ** 2).sum()))
+            ax.annotate(
+                f"{name}: {d:.1f}px", pred[k], color="r", fontsize=7,
+                xytext=(4, 4), textcoords="offset points",
+            )
+        ax.set_title(f"max corner error {max_err:.1f}px")
+        ax.legend(loc="lower right", fontsize=8)
+        ax.set_axis_off()
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
 
     @staticmethod
     def _write_text_report(report: Dict, path: str) -> None:

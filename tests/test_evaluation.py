@@ -108,6 +108,39 @@ def test_seg_evaluator_worst_case_panels(tmp_path):
         assert "failures/" in w["panel"]
 
 
+def test_pose_evaluator_worst_case_panels(tmp_path):
+    from mtg_card_image_segmentation_tpu.ops import heatmap as hm
+
+    corners = np.array(
+        [[[10.0, 10.0], [50.0, 10.0], [50.0, 40.0], [10.0, 40.0]]], np.float32
+    ).repeat(6, axis=0)
+
+    class OracleModel:
+        def apply(self, variables, images, train=False):
+            shifted = jnp.asarray(corners[:4]) + jnp.asarray([2.0, 0.0])
+            hm_coords = hm.pixels_to_heatmap_coords(shifted, (48, 64), (24, 32))
+            return hm.gaussian_heatmaps_batch(hm_coords, 24, 32, 1.5)[
+                : images.shape[0]
+            ]
+
+    ev = PoseEvaluator(OracleModel().apply, {}, image_hw=(48, 64))
+    batches = [
+        (jnp.zeros((4, 48, 64, 3)), None, jnp.asarray(corners[:4])),
+        (jnp.zeros((2, 48, 64, 3)), None, jnp.asarray(corners[4:])),
+    ]
+    report = ev.evaluate(batches, output_dir=str(tmp_path), worst_k=3)
+    assert len(report["worst_cases"]) == 3
+    errs = [w["max_error_px"] for w in report["worst_cases"]]
+    assert errs == sorted(errs, reverse=True)
+    assert all(0 <= w["index"] < 6 for w in report["worst_cases"])
+    for w in report["worst_cases"]:
+        panel = tmp_path / w["panel"]
+        assert panel.is_file() and panel.stat().st_size > 1000
+        assert "failures/" in w["panel"]
+    data = json.loads((tmp_path / "pose_evaluation.json").read_text())
+    assert all("panel" in w for w in data["worst_cases"])
+
+
 def test_pose_evaluator_report(tmp_path):
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm
 

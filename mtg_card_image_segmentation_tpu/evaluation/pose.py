@@ -152,7 +152,37 @@ class PoseEvaluator:
             self._plot_error_distribution(
                 err, os.path.join(output_dir, "error_distribution.png")
             )
+            self._plot_accuracy_curve(
+                err, os.path.join(output_dir, "accuracy_curve.png")
+            )
         return report
+
+    @staticmethod
+    def _plot_accuracy_curve(err: np.ndarray, path: str) -> None:
+        """Accuracy-vs-threshold sweep, overall + per corner (the reference
+        evaluator's accuracy/per-corner plots, evaluate_model.py:489-668)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ts = np.linspace(0.0, 20.0, 81)
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for k, name in enumerate(CORNER_NAMES):
+            acc = [(err[:, k] <= t).mean() * 100.0 for t in ts]
+            ax.plot(ts, acc, lw=1, alpha=0.7, label=name)
+        overall = [(err <= t).mean() * 100.0 for t in ts]
+        ax.plot(ts, overall, "k-", lw=2, label="overall")
+        for t in (5.0, 10.0):
+            ax.axvline(t, color="gray", ls=":", lw=0.8)
+        ax.set_xlabel("error threshold (px)")
+        ax.set_ylabel("accuracy (%)")
+        ax.set_ylim(0, 102)
+        ax.legend(fontsize=8)
+        ax.set_title("corner accuracy vs threshold")
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
 
     @staticmethod
     def _plot_corner_panel(

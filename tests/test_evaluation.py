@@ -170,6 +170,7 @@ def test_pose_evaluator_report(tmp_path):
     assert (tmp_path / "pose_evaluation.json").is_file()
     assert (tmp_path / "report.txt").stat().st_size > 100
     assert (tmp_path / "error_distribution.png").stat().st_size > 1000
+    assert (tmp_path / "accuracy_curve.png").stat().st_size > 1000
     data = json.loads((tmp_path / "pose_evaluation.json").read_text())
     assert data["tiers"]["acc10_target>90"]
 

@@ -5,6 +5,7 @@
 Creates a deployment package from a trained pose checkpoint:
   pose.onnx        fp32 ONNX graph (BN folded), opset 19
   pose_fp16.onnx   fp16 weights, fp32 I/O (auto-mixed-precision analog)
+  pose_int8.onnx   QDQ per-channel int8 weights (~4x smaller download)
   pose_info.json   IO contract + parity results
 
 Parity gates: fp32 max|diff| < 1e-4; fp16 at the reference's
@@ -97,6 +98,16 @@ def main() -> None:
     print(f"pose_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
 
+    # int8 QDQ export (BASELINE.json config #5 "bf16/int8 pipeline"): per-
+    # output-channel symmetric weight quantization + DequantizeLinear nodes
+    from mtg_card_image_segmentation_tpu.export.quantize import convert_to_int8
+
+    int8_model = convert_to_int8(onnx_model)
+    int8_path = os.path.join(args.output_dir, "pose_int8.onnx")
+    int8_model.save(int8_path)
+    print(f"pose_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
+
     parity = {}
     if not args.skip_verify:
         with jax.default_matmul_precision("float32"):
@@ -124,11 +135,50 @@ def main() -> None:
                 + cfg.export.parity_rtol_fp16 * np.abs(ref_nchw)
             ))
             print(f"fp16 parity: max|diff|={d16:.2e} {'PASS' if ok16 else 'FAIL'}")
+        # int8 gate is FUNCTIONAL, on a synthetic card render (not noise —
+        # heatmap peaks on a noise probe are arbitrary): the decoded corner
+        # peaks must not move by more than one heatmap pixel vs fp32
+        from mtg_card_image_segmentation_tpu.data.synthetic import synthetic_batch
+
+        card01 = np.asarray(
+            jax.jit(lambda k: synthetic_batch(k, 1, h, w).image)(
+                jax.random.key(11)
+            )
+        )
+        card_nchw = np.transpose(card01, (0, 3, 1, 2)).astype(np.float32)
+        ref_card = np.transpose(
+            np.asarray(
+                jax.jit(
+                    lambda img: model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        img, train=False,
+                    )
+                )(jnp.asarray(card01))
+            ),
+            (0, 3, 1, 2),
+        )
+        out8 = np.asarray(
+            make_runner(op.Model.load(int8_path))(jnp.asarray(card_nchw))
+        )
+
+        def _peaks(hms):  # (1, K, H, W) -> (K, 2) [x, y] heatmap px
+            kk = hms.shape[1]
+            flat = hms.reshape(kk, -1).argmax(-1)
+            return np.stack([flat % hms.shape[3], flat // hms.shape[3]], -1)
+
+        shift8 = float(np.abs(_peaks(out8) - _peaks(ref_card)).max())
+        d8 = float(np.abs(out8 - ref_card).max())
+        ok8 = shift8 <= 1.0
+        print(f"int8 parity: heatmap max|diff|={d8:.2e}, "
+              f"peak shift={shift8:.0f} hm-px (<= 1) "
+              f"{'PASS' if ok8 else 'FAIL'}")
         parity = {
             "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
             "fp16_max_abs_diff": d16, "fp16_pass": bool(ok16),
+            "int8_max_abs_diff": d8, "int8_peak_shift_hm_px": shift8,
+            "int8_pass": bool(ok8),
         }
-        if not (ok32 and ok16):
+        if not (ok32 and ok16 and ok8):
             raise SystemExit("parity gate FAILED")
         from export_seg import _independent_checks
 

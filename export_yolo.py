@@ -6,6 +6,7 @@ half) driven from train-pose-estimation_yolo12n/model.py:266-310).
 Creates a deployment package from a trained YOLO corner checkpoint:
   yolo.onnx        fp32 ONNX graph (BN folded, decode in-graph), opset 19
   yolo_fp16.onnx   fp16 weights, fp32 I/O
+  yolo_int8.onnx   QDQ per-channel int8 conv weights (~4x smaller download)
   yolo_info.json   IO contract + parity results
 
 Output contract: "output0" (1, 17, A) — rows [x1,y1,x2,y2,score,
@@ -87,6 +88,15 @@ def main() -> None:
     print(f"yolo_fp16.onnx ({os.path.getsize(fp16_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(fp16_path):.2f}x smaller)")
 
+    # int8 QDQ export (BASELINE.json config #5 "bf16/int8 pipeline")
+    from mtg_card_image_segmentation_tpu.export.quantize import convert_to_int8
+
+    int8_model = convert_to_int8(onnx_model)
+    int8_path = os.path.join(args.output_dir, "yolo_int8.onnx")
+    int8_model.save(int8_path)
+    print(f"yolo_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
+          f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
+
     atol32, atol16 = 2e-3, 1.0
     parity = {}
     if not args.skip_verify:
@@ -137,11 +147,41 @@ def main() -> None:
             okt = dt < atol32
             print(f"independent torch-runner parity: max|diff|={dt:.2e} "
                   f"{'PASS' if okt else 'FAIL'}")
+            # int8 gate is FUNCTIONAL, on a synthetic card render: the
+            # client-decoded corners must stay within 2 px of the fp32
+            # graph's decode (weight rounding through ~100 conv layers —
+            # a raw-row atol would be either vacuous or flaky)
+            from mtg_card_image_segmentation_tpu.data.synthetic import (
+                synthetic_batch,
+            )
+            from mtg_card_image_segmentation_tpu.export.yolo_client_decode import (
+                decode as client_decode,
+            )
+
+            card01 = np.asarray(
+                jax.jit(lambda key: synthetic_batch(key, 1, size, size).image)(
+                    jax.random.key(11)
+                )
+            )
+            card_nchw = np.transpose(card01, (0, 3, 1, 2)).astype(np.float32)
+            ref_card = np.asarray(
+                make_runner(op.Model.load(fp32_path))(jnp.asarray(card_nchw))
+            )
+            out8 = np.asarray(
+                make_runner(op.Model.load(int8_path))(jnp.asarray(card_nchw))
+            )
+            c_ref = np.asarray(client_decode(ref_card)[2][:, :2], np.float64)
+            c_int8 = np.asarray(client_decode(out8)[2][:, :2], np.float64)
+            shift8 = float(np.sqrt(((c_int8 - c_ref) ** 2).sum(-1)).max())
+            ok8 = shift8 <= 2.0
+            print(f"int8 parity: decoded corner shift={shift8:.2f} px (<= 2) "
+                  f"{'PASS' if ok8 else 'FAIL'}")
         parity = {
             "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
             "fp16_max_abs_diff": d16, "fp16_px_max_abs_diff": d16_px,
             "fp16_prob_max_abs_diff": d16_prob, "fp16_pass": bool(ok16),
             "torch_runner_max_abs_diff": dt, "torch_runner_pass": bool(okt),
+            "int8_corner_shift_px": shift8, "int8_pass": bool(ok8),
         }
         import shutil
         import subprocess
@@ -160,7 +200,7 @@ def main() -> None:
             print("independent protoc decode: "
                   + ("PASS" if parity["protoc_decode_pass"]
                      else "FAIL: " + proc.stderr[:200]))
-        if not (ok32 and ok16 and okt):
+        if not (ok32 and ok16 and okt and ok8):
             raise SystemExit("parity gate FAILED")
 
     info = {

@@ -27,13 +27,19 @@ export class ModelInference {
 
   // relative URLs so the demo works from any mount point (subpath deploys)
   async initialize(fp16Url = 'models/model_fp16.onnx',
-                   fp32Url = 'models/model.onnx') {
+                   fp32Url = 'models/model.onnx',
+                   int8Url = 'models/model_int8.onnx') {
     const caps = this.detectCapabilities();
     const ladder = ['webgpu', 'webgl', 'wasm'].filter((p) => caps[p]);
     const errors = [];
     for (const ep of ladder) {
-      // fp16 weights first (half the download), fp32 as the compat fallback
-      for (const url of [fp16Url, fp32Url]) {
+      // smallest usable download first: QDQ int8 (4x smaller, mask
+      // agreement gated >= 99.9% at export) on wasm, where ort-web
+      // executes DequantizeLinear reliably; fp16 on the GPU providers;
+      // fp32 as the universal compat fallback
+      const urls = ep === 'wasm'
+        ? [int8Url, fp16Url, fp32Url] : [fp16Url, fp32Url];
+      for (const url of urls) {
         try {
           this.session = await ort.InferenceSession.create(url, {
             executionProviders: [ep],
@@ -71,6 +77,7 @@ export class ModelInference {
     const avg = s.totalMs / s.frames;
     return `inference ${s.lastMs.toFixed(1)} ms | avg ${avg.toFixed(1)} ms | ` +
       `${(1000 / avg).toFixed(1)} fps | ${this.backend}` +
-      `${this.modelUrl && this.modelUrl.includes('fp16') ? ' fp16' : ' fp32'}`;
+      `${this.modelUrl && this.modelUrl.includes('int8') ? ' int8'
+        : this.modelUrl && this.modelUrl.includes('fp16') ? ' fp16' : ' fp32'}`;
   }
 }

@@ -83,7 +83,12 @@ class PoseEvaluator:
             all_conf.append(conf)
             if worst_k > 0:
                 per_img = err.max(axis=1)
+                # candidates are error-descending; stop at the first that
+                # misses the cutoff so images are only pulled to host for
+                # cases that actually enter the buffer
                 for i in np.argsort(-per_img)[:worst_k]:
+                    if len(worst) >= worst_k and per_img[i] <= worst[-1][0]:
+                        break
                     worst.append(
                         (
                             float(per_img[i]),

@@ -95,7 +95,9 @@ class SegEvaluator:
             per_iou = np.asarray(per_iou)[:valid]
             ious.extend(per_iou.tolist())
             bad = np.where(per_iou < failure_iou_threshold)[0]
+            mined = set()
             for i in bad[: max(0, max_failures - len(failures))]:
+                mined.add(int(i))
                 failures.append(
                     {
                         "batch": batch_idx,
@@ -116,9 +118,16 @@ class SegEvaluator:
                     )
                 )
             if worst_k > 0:
-                # merge this batch's candidates into the running worst-k
-                order = np.argsort(per_iou)[:worst_k]
-                for i in order:
+                # merge this batch's candidates into the running worst-k;
+                # skip images already saved as failure panels, and only
+                # materialize arrays for candidates that beat the current
+                # cutoff (device->host transfers are round-trips on the
+                # remote relay — most candidates lose once the buffer fills)
+                for i in np.argsort(per_iou)[:worst_k]:
+                    if int(i) in mined:
+                        continue
+                    if len(worst) >= worst_k and per_iou[i] >= worst[-1][0]:
+                        break  # candidates are iou-ascending: rest lose too
                     worst.append(
                         (
                             float(per_iou[i]),

@@ -52,9 +52,20 @@ def main() -> None:
                         help="batch-shard serving over a data mesh of this "
                              "size (-1 = all local devices); 1 = single chip "
                              "(the driver's headline configuration)")
+    parser.add_argument("--xla-only", action="store_true",
+                        help="reference-shaped XLA path, no Pallas kernels "
+                             "(the TPU fast path needs a TPU; this enables "
+                             "CPU smoke runs)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a TensorBoard-loadable jax.profiler "
+                             "trace of the timed loop into DIR")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
+    from mtg_card_image_segmentation_tpu.utils import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS=cpu binding (sitecustomize
+    # registers the TPU plugin in every process; env alone is not enough)
     from mtg_card_image_segmentation_tpu.models import create_model
     from mtg_card_image_segmentation_tpu.serving import SegPredictor
 
@@ -87,6 +98,7 @@ def main() -> None:
     # uint8 in -> uint8 mask out (what a deployed consumer sends/receives)
     predictor = SegPredictor(
         params, batch_stats, args.size, args.size,
+        use_pallas=not args.xla_only,
         quantize="int8" if args.int8 else None,
         mesh=mesh,
     )
@@ -101,7 +113,13 @@ def main() -> None:
         images = jnp.asarray(
             rng.integers(0, 256, (batch, args.size, args.size, 3)), jnp.uint8
         )
-        dt = _time_fn(forward, (images,), args.iters)
+        if args.profile:
+            from mtg_card_image_segmentation_tpu.utils.profiling import trace
+
+            with trace(args.profile):
+                dt = _time_fn(forward, (images,), args.iters)
+        else:
+            dt = _time_fn(forward, (images,), args.iters)
         ips = batch / dt
         if args.verbose:
             print(f"# batch={batch}: {dt * 1e3:.2f} ms -> {ips:.0f} img/s")

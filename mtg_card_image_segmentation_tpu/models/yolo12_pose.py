@@ -398,30 +398,47 @@ def top1_detection(boxes, scores, kpts):
     conf = jnp.max(scores, axis=-1)  # (B, A)
     idx = jnp.argmax(conf, axis=-1)  # (B,)
     box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # (B,4)
-    kconf = kpts[..., 2]
-    # Joint decode over the top-2 candidates per corner channel: a corner
-    # channel sometimes double-picks another corner's peak (the card's four
-    # corners look alike), leaving one corner unplaced. Enumerate all 2^K
-    # candidate assignments and score sum(conf) minus a collision penalty
-    # for any two corners closer than KPT_COLLISION_PX — the best
-    # non-colliding assignment wins. K=4 -> 16 combos, fully batched.
-    c2, i2 = jax.lax.top_k(jnp.swapaxes(kconf, 1, 2), 2)  # (B, K, 2)
+    # Joint decode over the top-3 SPATIALLY DISTINCT candidates per corner
+    # channel: a corner channel sometimes double-picks another corner's
+    # peak (the card's four corners look alike), leaving one corner
+    # unplaced — and the raw top-k anchors are often several anchors of
+    # ONE peak, so candidates are selected by greedy NMS on the decoded xy
+    # (radius KPT_COLLISION_PX). Enumerate all 3^K candidate assignments
+    # and score sum(conf) minus a collision penalty for any two corners
+    # closer than KPT_COLLISION_PX — the best non-colliding assignment
+    # wins. K=4 -> 81 combos, fully batched.
     k_dim = kpts.shape[2]
-    # gather candidate xy/conf per (channel, rank): kpts is (B, A, K, 3)
+    n_cand = 3
     flat = jnp.swapaxes(kpts, 1, 2)  # (B, K, A, 3)
-    cand = jnp.take_along_axis(flat, i2[..., None], axis=2)  # (B, K, 2, 3)
-    combos = jnp.asarray(
-        [[(c >> k) & 1 for k in range(k_dim)] for c in range(2**k_dim)]
-    )  # (16, K) rank choice per channel
-    pick = cand[:, jnp.arange(k_dim)[None, :], combos, :]  # (B, 16, K, 3)
-    conf_sum = jnp.sum(c2[:, jnp.arange(k_dim)[None, :], combos], axis=-1)
+    xy = flat[..., :2]  # (B, K, A, 2)
+    masked = flat[..., 2].astype(jnp.float32)  # (B, K, A) running NMS mask
+    picks = []
+    for _ in range(n_cand):
+        i = jnp.argmax(masked, axis=-1)  # (B, K)
+        picks.append(i)
+        sel = jnp.take_along_axis(xy, i[..., None, None], axis=2)  # (B,K,1,2)
+        d2_a = jnp.sum((xy - sel) ** 2, axis=-1)  # (B, K, A)
+        masked = jnp.where(d2_a < KPT_COLLISION_PX**2, -jnp.inf, masked)
+    i3 = jnp.stack(picks, axis=-1)  # (B, K, n_cand)
+    cand = jnp.take_along_axis(flat, i3[..., None], axis=2)  # (B,K,n,3)
+    c3 = cand[..., 2]  # (B, K, n) original confidences
+    digits = []
+    for c in range(n_cand**k_dim):
+        q, row = c, []
+        for _ in range(k_dim):
+            row.append(q % n_cand)
+            q //= n_cand
+        digits.append(row)
+    combos = jnp.asarray(digits)  # (n^K, K) rank choice per channel
+    pick = cand[:, jnp.arange(k_dim)[None, :], combos, :]  # (B, n^K, K, 3)
+    conf_sum = jnp.sum(c3[:, jnp.arange(k_dim)[None, :], combos], axis=-1)
     d2 = jnp.sum(
         (pick[..., None, :, :2] - pick[..., :, None, :2]) ** 2, axis=-1
-    )  # (B, 16, K, K)
+    )  # (B, n^K, K, K)
     eye = jnp.eye(k_dim, dtype=bool)
     collide = (d2 < KPT_COLLISION_PX**2) & ~eye
     penalty = jnp.sum(collide, axis=(-1, -2)).astype(jnp.float32) * 10.0
-    best = jnp.argmax(conf_sum - penalty, axis=1)  # (B,)
+    best = jnp.argmax(conf_sum.astype(jnp.float32) - penalty, axis=1)  # (B,)
     kp = jnp.take_along_axis(
         pick, best[:, None, None, None], axis=1
     )[:, 0]  # (B, K, 3)

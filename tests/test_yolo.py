@@ -129,3 +129,40 @@ def test_client_decode_matches_top1_detection():
         np.testing.assert_allclose(box_np, np.asarray(bb)[0], rtol=1e-6)
         np.testing.assert_allclose(score_np, float(np.asarray(conf)[0]), rtol=1e-6)
         np.testing.assert_allclose(kp_np, np.asarray(kk)[0], rtol=1e-5, atol=1e-4)
+
+
+def test_joint_decode_duplicate_peak_regression():
+    """Observed on a real export probe: one corner channel's two highest
+    raw anchors were both adjacent anchors of ANOTHER corner's peak, and
+    the true corner only ranked 3rd — a rank-based top-2 joint decode
+    collapses two corners onto one point (219 px error). The greedy-NMS
+    top-3 candidate selection must recover the true quadrilateral, in both
+    the jitted decode and the shipped numpy client decode."""
+    from mtg_card_image_segmentation_tpu.export.yolo_client_decode import decode
+
+    a, k = 64, 4
+    true = np.array([[10.0, 10.0], [100.0, 12.0], [98.0, 120.0], [12.0, 118.0]])
+    kpts = np.zeros((1, a, k, 3), np.float32)
+    kpts[..., :2] = 64.0  # far-field background anchors
+    for ch in range(k):
+        kpts[0, ch, ch, :] = (*true[ch], 0.6)  # true peak, anchor index=ch
+    # corner channel 2: two anchors of corner 1's peak outrank the true one
+    kpts[0, 40, 2] = (true[1][0] + 0.5, true[1][1] + 0.3, 0.8)
+    kpts[0, 41, 2] = (true[1][0] - 0.4, true[1][1] + 0.6, 0.7)
+    boxes = jnp.asarray(np.tile(np.array([5, 5, 105, 125], np.float32), (1, a, 1)))
+    scores = jnp.asarray(np.full((1, a, 1), 0.9, np.float32))
+    _, _, kk = top1_detection(boxes, scores, jnp.asarray(kpts))
+    got = np.asarray(kk)[0, :, :2]
+    # canonical order TL TR BR BL == `true`'s construction order
+    np.testing.assert_allclose(got, true, atol=1.5)
+
+    out0 = np.concatenate(
+        [
+            np.asarray(boxes)[0].T,
+            np.asarray(scores)[0].T,
+            np.transpose(kpts[0], (1, 2, 0)).reshape(3 * k, a),
+        ],
+        axis=0,
+    )[None]
+    got_np = np.asarray(decode(out0, num_keypoints=k)[2][:, :2])
+    np.testing.assert_allclose(got_np, true, atol=1.5)

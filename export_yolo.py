@@ -147,10 +147,15 @@ def main() -> None:
             okt = dt < atol32
             print(f"independent torch-runner parity: max|diff|={dt:.2e} "
                   f"{'PASS' if okt else 'FAIL'}")
-            # int8 gate is FUNCTIONAL, on a synthetic card render: the
-            # client-decoded corners must stay within 2 px of the fp32
-            # graph's decode (weight rounding through ~100 conv layers —
-            # a raw-row atol would be either vacuous or flaky)
+            # int8 gate is FUNCTIONAL, on a synthetic card render with known
+            # ground-truth corners: the int8 graph's client-decoded corner
+            # error vs GT must not exceed the fp32 graph's by more than 2 px.
+            # GT-relative (not decode-vs-decode) on purpose — on hard poses
+            # the joint decode can collapse two corners onto one peak for
+            # one graph and not the other, making a raw corner-shift gate
+            # report a huge "diff" even when the int8 decode is the BETTER
+            # one (observed: fp32 duplicated a corner, int8 recovered the
+            # true quadrilateral, naive shift read 219 px).
             from mtg_card_image_segmentation_tpu.data.synthetic import (
                 synthetic_batch,
             )
@@ -158,11 +163,16 @@ def main() -> None:
                 decode as client_decode,
             )
 
-            card01 = np.asarray(
-                jax.jit(lambda key: synthetic_batch(key, 1, size, size).image)(
-                    jax.random.key(11)
+            # negative_prob=0 + keep_in_frame: the probe must actually
+            # contain an in-frame card for decoded corners to be meaningful
+            probe = jax.jit(
+                lambda key: synthetic_batch(
+                    key, 1, size, size,
+                    negative_prob=0.0, keep_in_frame=True,
                 )
-            )
+            )(jax.random.key(11))
+            card01 = np.asarray(probe.image)
+            gt = np.asarray(probe.corners[0], np.float64)  # (4,2) TL TR BR BL
             card_nchw = np.transpose(card01, (0, 3, 1, 2)).astype(np.float32)
             ref_card = np.asarray(
                 make_runner(op.Model.load(fp32_path))(jnp.asarray(card_nchw))
@@ -172,16 +182,20 @@ def main() -> None:
             )
             c_ref = np.asarray(client_decode(ref_card)[2][:, :2], np.float64)
             c_int8 = np.asarray(client_decode(out8)[2][:, :2], np.float64)
-            shift8 = float(np.sqrt(((c_int8 - c_ref) ** 2).sum(-1)).max())
-            ok8 = shift8 <= 2.0
-            print(f"int8 parity: decoded corner shift={shift8:.2f} px (<= 2) "
-                  f"{'PASS' if ok8 else 'FAIL'}")
+            err_ref = float(np.sqrt(((c_ref - gt) ** 2).sum(-1)).mean())
+            err_int8 = float(np.sqrt(((c_int8 - gt) ** 2).sum(-1)).mean())
+            ok8 = err_int8 <= err_ref + 2.0
+            print(f"int8 parity: decoded corner error vs GT "
+                  f"{err_int8:.2f} px (fp32 graph: {err_ref:.2f} px, "
+                  f"gate <= +2) {'PASS' if ok8 else 'FAIL'}")
         parity = {
             "fp32_max_abs_diff": d32, "fp32_pass": bool(ok32),
             "fp16_max_abs_diff": d16, "fp16_px_max_abs_diff": d16_px,
             "fp16_prob_max_abs_diff": d16_prob, "fp16_pass": bool(ok16),
             "torch_runner_max_abs_diff": dt, "torch_runner_pass": bool(okt),
-            "int8_corner_shift_px": shift8, "int8_pass": bool(ok8),
+            "int8_corner_err_vs_gt_px": err_int8,
+            "fp32_corner_err_vs_gt_px": err_ref,
+            "int8_pass": bool(ok8),
         }
         import shutil
         import subprocess
@@ -211,10 +225,11 @@ def main() -> None:
             "name": "output0",
             "shape": [1, 17, sum((size // s) ** 2 for s in (8, 16, 32))],
             "rows": "[x1,y1,x2,y2,score,(kx,ky,kconf)x4] in input pixels",
-            "decode": "use decode_yolo.py (shipped alongside): joint top-2 "
-                      "corner decode with collision penalty + canonical "
-                      "reordering — a naive per-channel argmax regresses to "
-                      "corner-identity swaps on ~2% of rotated cards",
+            "decode": "use decode_yolo.py (shipped alongside): joint decode "
+                      "over 3 greedy-NMS peaks per corner channel with "
+                      "collision penalty + canonical reordering — a naive "
+                      "per-channel argmax regresses to corner-identity "
+                      "swaps on ~2% of rotated cards",
         },
         "parameters": count_parameters(params),
         "opset": 19,

@@ -23,13 +23,19 @@ import numpy as np
 KPT_COLLISION_PX = 24.0
 
 
+NMS_CANDIDATES = 3
+
+
 def decode(output0: np.ndarray, num_keypoints: int = 4):
     """(1, 4+nc+3K, A) raw model output -> (box(4,), score, corners(K, 3)).
 
     max_det=1 (one card per image): box from the best detection anchor;
-    keypoints from a joint assignment over each corner channel's top-2
-    confidence peaks with a collision penalty, then re-sorted into
-    canonical image order (TL, TR, BR, BL).
+    keypoints from a joint assignment over each corner channel's top-3
+    SPATIALLY DISTINCT confidence peaks (greedy NMS — adjacent anchors of
+    one peak are not alternatives; a channel's true corner is sometimes its
+    3rd-ranked raw anchor behind two anchors of another corner's peak) with
+    a collision penalty, then re-sorted into canonical image order
+    (TL, TR, BR, BL).
     """
     out = np.asarray(output0)[0]  # (rows, A)
     k = num_keypoints
@@ -42,17 +48,24 @@ def decode(output0: np.ndarray, num_keypoints: int = 4):
     box = boxes[:, best_a]
     score = float(conf[best_a])
 
-    # top-2 peaks per corner channel
-    kconf = kpts[:, 2, :]  # (K, A)
-    i2 = np.argsort(kconf, axis=1)[:, -2:][:, ::-1]  # (K, 2) best first
-    cand = np.stack(
-        [kpts[np.arange(k), :, i2[:, r]] for r in (0, 1)], axis=1
-    )  # (K, 2, 3) [x, y, conf]
-
-    # enumerate all 2^K rank assignments; penalize coincident corners
+    # top-n spatially distinct peaks per corner channel (greedy NMS on the
+    # DECODED xy — distinct anchors can decode to the same point)
+    n = NMS_CANDIDATES
+    cand = np.empty((k, n, 3), np.float64)  # [x, y, conf]
+    for ch in range(k):
+        c = kpts[ch, 2, :].astype(np.float64).copy()
+        xy = kpts[ch, :2, :].T  # (A, 2)
+        for r in range(n):
+            a = int(c.argmax())
+            cand[ch, r] = (xy[a, 0], xy[a, 1], kpts[ch, 2, a])
+            c[np.sum((xy - xy[a]) ** 2, axis=1) < KPT_COLLISION_PX ** 2] = -np.inf
+    # enumerate all n^K rank assignments; penalize coincident corners
     best_score, best_pick = -np.inf, None
-    for c in range(2 ** k):
-        ranks = [(c >> j) & 1 for j in range(k)]
+    for c in range(n ** k):
+        ranks, q = [], c
+        for _ in range(k):
+            ranks.append(q % n)
+            q //= n
         pick = cand[np.arange(k), ranks]  # (K, 3)
         d2 = np.sum(
             (pick[None, :, :2] - pick[:, None, :2]) ** 2, axis=-1

@@ -107,6 +107,7 @@ class PoseEvaluator:
         detected = conf >= self.peak_threshold
 
         report: Dict = {
+            "platform": jax.devices()[0].platform,  # where timing was measured
             "num_images": int(err.shape[0]),
             "mean_error_px": float(err.mean()),
             "median_error_px": float(np.median(err)),

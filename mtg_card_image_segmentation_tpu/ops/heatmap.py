@@ -55,6 +55,45 @@ def decode_argmax(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.stack([xx, yy], axis=-1), vals
 
 
+def decode_argmax_subpixel(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Argmax decode + per-axis quadratic peak refinement (the classic
+    sub-pixel fit): around the integer peak p, a parabola through
+    (f(p-1), f(p), f(p+1)) has its maximum at p + (f(p+1)-f(p-1)) /
+    (2*(2f(p)-f(p+1)-f(p-1))). For Gaussian-trained heatmaps at 1/4 input
+    resolution this removes most of the ~2 px quantization floor of the
+    integer decode. Returns ((B, K, 2) xy in [0,1] by (size-1), (B, K)
+    peak values)."""
+    b, h, w, k = heatmaps.shape
+    hm = heatmaps.astype(jnp.float32)
+    flat = hm.reshape(b, h * w, k)
+    idx = jnp.argmax(flat, axis=1)  # (B, K)
+    vals = jnp.max(flat, axis=1)
+    py = idx // w
+    px = idx % w
+
+    def at(yy, xx):  # gather f at clamped integer coords, (B, K)
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return jnp.take_along_axis(flat, (yy * w + xx)[:, None, :], axis=1)[:, 0]
+
+    def refine(minus, plus, interior):
+        denom = 2.0 * vals - plus - minus
+        off = jnp.where(
+            interior & (jnp.abs(denom) > 1e-6),
+            0.5 * (plus - minus) / jnp.where(denom == 0, 1.0, denom),
+            0.0,
+        )
+        return jnp.clip(off, -0.5, 0.5)
+
+    # border peaks keep the integer decode: a clamped neighbor equals the
+    # peak itself and the parabola degenerates to a spurious ±0.5 offset
+    off_x = refine(at(py, px - 1), at(py, px + 1), (px > 0) & (px < w - 1))
+    off_y = refine(at(py - 1, px), at(py + 1, px), (py > 0) & (py < h - 1))
+    xx01 = (px.astype(jnp.float32) + off_x) / (w - 1)
+    yy01 = (py.astype(jnp.float32) + off_y) / (h - 1)
+    return jnp.stack([xx01, yy01], axis=-1), vals
+
+
 def decode_soft_argmax(
     heatmaps: jax.Array, temperature: float = 1.0
 ) -> Tuple[jax.Array, jax.Array]:
@@ -75,10 +114,10 @@ def decode_soft_argmax(
 def extract_peaks(
     heatmaps: jax.Array, threshold: float = 0.3
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Inference-style peak extraction: argmax decode + validity mask by
-    confidence threshold (inference_test.py:221-255). Returns (coords01,
-    confidences, valid)."""
-    coords, vals = decode_argmax(heatmaps)
+    """Inference-style peak extraction: sub-pixel argmax decode + validity
+    mask by confidence threshold (inference_test.py:221-255). Returns
+    (coords01, confidences, valid)."""
+    coords, vals = decode_argmax_subpixel(heatmaps)
     return coords, vals, vals >= threshold
 
 

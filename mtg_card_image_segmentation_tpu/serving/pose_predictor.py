@@ -27,30 +27,7 @@ from mtg_card_image_segmentation_tpu.models import create_model
 from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 from mtg_card_image_segmentation_tpu.ops.pallas import fused_normalize
 
-__all__ = ["PosePredictor", "YoloCornerPredictor", "refine_quarter_offset"]
-
-
-def refine_quarter_offset(heatmaps: jax.Array, coords01, conf):
-    """Sub-pixel refinement of an argmax decode: +-0.25 hm px per axis
-    toward the higher neighbor. heatmaps (B, H, W, K); coords01 (B, K, 2)
-    xy in [0,1] (size-1 convention)."""
-    b, h, w, k = heatmaps.shape
-    xi = jnp.round(coords01[..., 0] * (w - 1)).astype(jnp.int32)  # (B, K)
-    yi = jnp.round(coords01[..., 1] * (h - 1)).astype(jnp.int32)
-    bb = jnp.arange(b)[:, None]
-    kk = jnp.arange(k)[None, :]
-
-    def at(y, x):
-        y = jnp.clip(y, 0, h - 1)
-        x = jnp.clip(x, 0, w - 1)
-        return heatmaps[bb, y, x, kk].astype(jnp.float32)
-
-    dx = jnp.sign(at(yi, xi + 1) - at(yi, xi - 1)) * 0.25
-    dy = jnp.sign(at(yi + 1, xi) - at(yi - 1, xi)) * 0.25
-    # clamp the shifted point back into [0, size-1]
-    fx = jnp.clip(xi.astype(jnp.float32) + dx, 0, w - 1) / (w - 1)
-    fy = jnp.clip(yi.astype(jnp.float32) + dy, 0, h - 1) / (h - 1)
-    return jnp.stack([fx, fy], axis=-1), conf
+__all__ = ["PosePredictor", "YoloCornerPredictor"]
 
 
 class PosePredictor:
@@ -95,9 +72,13 @@ class PosePredictor:
             heatmaps = model.apply(
                 {"params": params, "batch_stats": stats}, x, train=False
             )
-            coords01, conf = hm_lib.decode_argmax(heatmaps)
+            # refine=True: quadratic sub-pixel peak fit (supersedes the
+            # earlier sign-based +-0.25 scheme — measured better on the
+            # Gaussian-trained heads); False: reference integer argmax
             if refine:
-                coords01, conf = refine_quarter_offset(heatmaps, coords01, conf)
+                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
+            else:
+                coords01, conf = hm_lib.decode_argmax(heatmaps)
             px = hm_lib.coords01_to_pixels(coords01, (height, width))
             return px, conf.astype(jnp.float32)
 

@@ -33,6 +33,31 @@ def test_decode_argmax_roundtrip():
     assert np.all(np.asarray(vals) > 0.99)
 
 
+def test_decode_argmax_subpixel_quadratic():
+    """Quadratic peak refinement recovers fractional Gaussian centers to
+    ~0.1 hm-px (integer argmax floors at ~0.5), including near borders."""
+    centers = jnp.asarray(
+        [[[5.3, 3.7], [10.2, 6.1], [20.6, 15.4], [47.0, 31.0]]]
+    )
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)
+    coords, vals = hm.decode_argmax_subpixel(targets)
+    px = np.asarray(hm.coords01_to_pixels(coords, (32, 48)))
+    np.testing.assert_allclose(px[0], np.asarray(centers)[0], atol=0.15)
+    assert np.all(np.asarray(vals) > 0.9)
+    # a peak ON the border keeps the integer decode (no spurious ±0.5)
+    border = jnp.asarray([[[0.0, 0.0], [47.0, 0.0], [0.0, 31.0], [47.0, 31.0]]])
+    btargets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(border)
+    bcoords, _ = hm.decode_argmax_subpixel(btargets)
+    bpx = np.asarray(hm.coords01_to_pixels(bcoords, (32, 48)))
+    np.testing.assert_allclose(bpx[0], np.asarray(border)[0], atol=1e-5)
+    # strictly better than the integer decode on fractional centers
+    coords_int, _ = hm.decode_argmax(targets)
+    px_int = np.asarray(hm.coords01_to_pixels(coords_int, (32, 48)))
+    err_sub = np.abs(px[0, :2] - np.asarray(centers)[0, :2]).max()
+    err_int = np.abs(px_int[0, :2] - np.asarray(centers)[0, :2]).max()
+    assert err_sub < err_int
+
+
 def test_decode_soft_argmax_subpixel():
     centers = jnp.asarray([[[5.3, 3.7], [10.2, 6.1], [1.5, 1.5], [8.8, 2.2]]])
     targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)

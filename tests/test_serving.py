@@ -214,7 +214,8 @@ class TestPosePredictor:
         return model, variables, pred, (h, w)
 
     def test_matches_evaluator_decode(self):
-        """refine=False == the PoseEvaluator default predict_step exactly."""
+        """refine=False == reference integer argmax; refine=True (the
+        default) == the PoseEvaluator's sub-pixel decode exactly."""
         from mtg_card_image_segmentation_tpu.data.preprocess import normalize_only
         from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 
@@ -233,6 +234,13 @@ class TestPosePredictor:
                                    rtol=1e-4, atol=1e-2)
         np.testing.assert_allclose(np.asarray(conf), np.asarray(ref_conf),
                                    rtol=1e-4, atol=1e-4)
+
+        _, _, pred_r, _ = self._build(refine=True)
+        px_r, _ = pred_r.predict(jnp.asarray(imgs))
+        coords01_r, _ = hm_lib.decode_argmax_subpixel(heatmaps)
+        ref_px_r = hm_lib.coords01_to_pixels(coords01_r, (h, w))
+        np.testing.assert_allclose(np.asarray(px_r), np.asarray(ref_px_r),
+                                   rtol=1e-4, atol=1e-2)
 
     def test_yolo_corner_predictor_matches_evaluator_decode(self):
         """YoloCornerPredictor (uint8 path) == the CornerEvaluator's
@@ -349,17 +357,16 @@ class TestPosePredictor:
         np.testing.assert_allclose(yl[0], [4.5, 3.25])
         np.testing.assert_allclose(yl[1], [634.5, 475.75])
 
-    def test_refine_stays_within_quarter_px(self):
-        """Sub-pixel refinement moves each corner <= 0.25 heatmap px/axis."""
-        from mtg_card_image_segmentation_tpu.serving.pose_predictor import (
-            refine_quarter_offset,
-        )
+    def test_subpixel_refine_stays_within_half_px(self):
+        """Quadratic sub-pixel refinement moves each corner <= 0.5 heatmap
+        px per axis from the integer argmax (parabola vertex of a true
+        local maximum lies within its cell)."""
         from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 
         rng = np.random.default_rng(1)
         hms = jnp.asarray(rng.random((2, 16, 24, 4)), jnp.float32)
-        coords01, conf = hm_lib.decode_argmax(hms)
-        ref01, _ = refine_quarter_offset(hms, coords01, conf)
+        coords01, _ = hm_lib.decode_argmax(hms)
+        ref01, _ = hm_lib.decode_argmax_subpixel(hms)
         dx = np.abs(np.asarray(ref01[..., 0] - coords01[..., 0])) * (24 - 1)
         dy = np.abs(np.asarray(ref01[..., 1] - coords01[..., 1])) * (16 - 1)
-        assert dx.max() <= 0.25 + 1e-5 and dy.max() <= 0.25 + 1e-5
+        assert dx.max() <= 0.5 + 1e-5 and dy.max() <= 0.5 + 1e-5

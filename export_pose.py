@@ -186,7 +186,14 @@ def main() -> None:
         "model": cfg.pose.name,
         "input": {"name": "input", "shape": [1, 3, h, w], "dtype": "float32",
                   "normalization": "/255 only (no ImageNet normalization)"},
-        "output": {"name": "heatmaps", "shape": [1, k, hm_h, hm_w]},
+        "output": {
+            "name": "heatmaps", "shape": [1, k, hm_h, hm_w],
+            "decode": "per-channel argmax -> (x, y); for the reported "
+                      "sub-pixel accuracy refine each peak by the "
+                      "quadratic fit x += 0.5*(f[x+1]-f[x-1]) / "
+                      "(2f[x]-f[x+1]-f[x-1]) per axis (interior peaks "
+                      "only), then scale by (input_size-1)/(heatmap_size-1)",
+        },
         "parameters": count_parameters(params),
         "opset": 19,
         "checkpoint_epoch": meta.get("epoch"),

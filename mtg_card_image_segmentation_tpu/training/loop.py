@@ -163,17 +163,18 @@ def make_pose_train_step(mesh: Optional[Mesh] = None, donate: bool = True):
 
 
 def make_pose_eval_step(image_hw: tuple[int, int], mesh: Optional[Mesh] = None):
-    """Jitted pose eval: loss + per-corner pixel distances (argmax decode of
-    both pred and target heatmaps, scaled to image pixels — CornerMetrics,
-    metrics.py:29-73)."""
+    """Jitted pose eval: loss + per-corner pixel distances (decode of both
+    pred and target heatmaps, scaled to image pixels — CornerMetrics,
+    metrics.py:29-73; sub-pixel quadratic decode on both sides so the
+    validation metric matches the PoseEvaluator/serving decode)."""
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
     from mtg_card_image_segmentation_tpu import metrics as seg_metrics
 
     def eval_step(state: SegTrainState, images: jax.Array, targets: jax.Array):
         heatmaps = state.apply_fn(state.variables(), images, train=False)
         loss = losses_lib.heatmap_mse_loss(heatmaps, targets)
-        pred_xy, _ = hm_lib.decode_argmax(heatmaps)
-        tgt_xy, _ = hm_lib.decode_argmax(targets)
+        pred_xy, _ = hm_lib.decode_argmax_subpixel(heatmaps)
+        tgt_xy, _ = hm_lib.decode_argmax_subpixel(targets)
         distances = seg_metrics.corner_distances(pred_xy, tgt_xy, image_hw)
         return {"loss": loss.astype(jnp.float32), "count": jnp.asarray(1.0)}, distances
 

@@ -126,18 +126,26 @@ def main() -> None:
         if ips > best:
             best, best_batch = ips, batch
 
+    # with a data mesh the timed loop measures AGGREGATE mesh throughput;
+    # report per-chip (the unit and the 5k/chip baseline are per-chip) and
+    # mark the mesh size in the metric name
+    n_chips = int(mesh.devices.size) if mesh is not None else 1
+    per_chip = best / n_chips
     print(
         json.dumps(
             {
                 "metric": "seg_inference_images_per_sec_"
                           f"{args.size}x{args.size}_b{best_batch}"
-                          + ("_int8" if args.int8 else ""),
-                "value": round(best, 1),
+                          + ("_int8" if args.int8 else "")
+                          + (f"_mesh{n_chips}" if n_chips > 1 else ""),
+                "value": round(per_chip, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 3),
+                "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
             }
         )
     )
+    if n_chips > 1 and args.verbose:
+        print(f"# aggregate over {n_chips} chips: {best:.0f} img/s")
 
 
 if __name__ == "__main__":

@@ -134,9 +134,8 @@ def main() -> None:
     model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
     # template-free params read — no init compile, no throwaway optimizer
     ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
+    # load_params already returns device arrays
     params, batch_stats, meta = ckpt_lib.load_params(ckpt_dir or ".", name)
-    params = jax.tree.map(jnp.asarray, params)
-    batch_stats = jax.tree.map(jnp.asarray, batch_stats)
     print(f"loaded {args.checkpoint} (epoch {meta.get('epoch')})")
 
     slim_overrides = None

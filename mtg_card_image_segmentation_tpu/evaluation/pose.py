@@ -17,6 +17,7 @@ from typing import Dict, Iterable, List, Optional, Sequence
 import jax
 import numpy as np
 
+from mtg_card_image_segmentation_tpu.evaluation.worstk import merge_worst_k
 from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 
 CORNER_NAMES = ("top_left", "top_right", "bottom_right", "bottom_left")
@@ -83,23 +84,26 @@ class PoseEvaluator:
             all_conf.append(conf)
             if worst_k > 0:
                 per_img = err.max(axis=1)
-                # candidates are error-descending; stop at the first that
-                # misses the cutoff so images are only pulled to host for
-                # cases that actually enter the buffer
-                for i in np.argsort(-per_img)[:worst_k]:
-                    if len(worst) >= worst_k and per_img[i] <= worst[-1][0]:
-                        break
-                    worst.append(
-                        (
-                            float(per_img[i]),
-                            seen + int(i),
-                            np.asarray(images[int(i)]),
-                            c[int(i)],
-                            px[int(i)],
-                        )
+
+                # error-descending candidates; images are only pulled to
+                # host for cases that actually enter the buffer
+                def _entry(i, base=seen):
+                    return lambda: (
+                        base + int(i),
+                        np.asarray(images[int(i)]),
+                        c[int(i)],
+                        px[int(i)],
                     )
-                worst.sort(key=lambda t: -t[0])
-                del worst[worst_k:]
+
+                merge_worst_k(
+                    worst,
+                    (
+                        (float(per_img[i]), _entry(i))
+                        for i in np.argsort(-per_img)[:worst_k]
+                    ),
+                    worst_k,
+                    reverse=True,
+                )
             seen += int(err.shape[0])
 
         err = np.concatenate(all_err)  # (N, 4)

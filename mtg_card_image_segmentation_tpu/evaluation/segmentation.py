@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtg_card_image_segmentation_tpu import metrics as metrics_lib
+from mtg_card_image_segmentation_tpu.evaluation.worstk import merge_worst_k
 from mtg_card_image_segmentation_tpu.utils import plots as plots_lib
 
 
@@ -118,30 +119,30 @@ class SegEvaluator:
                     )
                 )
             if worst_k > 0:
-                # merge this batch's candidates into the running worst-k;
-                # skip images already saved as failure panels, and only
-                # materialize arrays for candidates that beat the current
-                # cutoff (device->host transfers are round-trips on the
-                # remote relay — most candidates lose once the buffer fills)
-                for i in np.argsort(per_iou)[:worst_k]:
-                    if int(i) in mined:
-                        continue
-                    if len(worst) >= worst_k and per_iou[i] >= worst[-1][0]:
-                        break  # candidates are iou-ascending: rest lose too
-                    worst.append(
+                # merge this batch's iou-ascending candidates into the
+                # running worst-k, skipping images already saved as failure
+                # panels; arrays materialize only for admitted candidates
+                def _entry(i, base=seen):
+                    return lambda: (
+                        base + int(i),
                         (
-                            float(per_iou[i]),
-                            seen + int(i),
-                            (
-                                np.asarray(images[int(i)]),
-                                np.asarray(masks[int(i)]),
-                                np.asarray(preds[int(i)]),
-                                np.asarray(conf[int(i)]),
-                            ),
-                        )
+                            np.asarray(images[int(i)]),
+                            np.asarray(masks[int(i)]),
+                            np.asarray(preds[int(i)]),
+                            np.asarray(conf[int(i)]),
+                        ),
                     )
-                worst.sort(key=lambda t: t[0])
-                del worst[worst_k:]
+
+                merge_worst_k(
+                    worst,
+                    (
+                        (float(per_iou[i]), _entry(i))
+                        for i in np.argsort(per_iou)[: worst_k + len(mined)]
+                        if int(i) not in mined
+                    ),
+                    worst_k,
+                    reverse=False,
+                )
             seen += valid
             if sample_panels is None:
                 sample_panels = (

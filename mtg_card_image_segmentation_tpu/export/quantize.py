@@ -112,8 +112,12 @@ def quantize_params(folded: Dict, min_size: int = 512) -> Dict:
     return rec(folded)
 
 
-def dequantize_params(tree: Dict, dtype=np.float32) -> Dict:
-    """Inverse of :func:`quantize_params` (materializes dense kernels)."""
+def dequantize_params(tree: Dict, dtype=np.float32, xp=np) -> Dict:
+    """Inverse of :func:`quantize_params` (materializes dense kernels).
+
+    ``xp=np`` for host-side use; pass ``xp=jax.numpy`` to run inside a
+    jitted program (the int8 serving mode: kernels live in HBM as int8 and
+    XLA fuses the scale multiply into the weight load)."""
 
     def rec(node):
         if not isinstance(node, dict):
@@ -122,7 +126,7 @@ def dequantize_params(tree: Dict, dtype=np.float32) -> Dict:
         for k, v in node.items():
             if k == "kernel_q":
                 out["kernel"] = (
-                    np.asarray(v, np.float32) * node["kernel_scale"]
+                    xp.asarray(v, xp.float32) * node["kernel_scale"]
                 ).astype(dtype)
             elif k == "kernel_scale":
                 continue

@@ -242,20 +242,11 @@ def maybe_shard_predict(predict, mesh, n_param_args: int = 1, n_outputs: int = 1
 
 
 def _dequant_jax(tree, dtype):
-    """In-jit dequantization of a quantize_params tree: int8 kernels + per-
-    channel scales -> dense ``dtype`` kernels. XLA fuses the multiply into
-    the weight load; kernels live in HBM as int8 (4x smaller)."""
-    if not isinstance(tree, dict):
-        return tree
-    out = {}
-    for k, v in tree.items():
-        if k == "kernel_q":
-            out["kernel"] = (v.astype(jnp.float32) * tree["kernel_scale"]).astype(dtype)
-        elif k == "kernel_scale":
-            continue
-        else:
-            out[k] = _dequant_jax(v, dtype)
-    return out
+    """In-jit dequantization of a quantize_params tree (shared traversal
+    with the host-side inverse — export/quantize.py)."""
+    from mtg_card_image_segmentation_tpu.export.quantize import dequantize_params
+
+    return dequantize_params(tree, dtype, xp=jnp)
 
 
 class SegPredictor:

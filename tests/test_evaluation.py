@@ -108,6 +108,37 @@ def test_seg_evaluator_worst_case_panels(tmp_path):
         assert "failures/" in w["panel"]
 
 
+def test_merge_worst_k_multi_displacement():
+    """A full buffer must accept EVERY qualifying candidate from one batch,
+    not just the first (regression: the cutoff was compared against the
+    just-appended entry, dropping later candidates that still beat weaker
+    buffer members). Entries are built lazily, only on admission."""
+    from mtg_card_image_segmentation_tpu.evaluation.worstk import merge_worst_k
+
+    built = []
+
+    def entry(tag):
+        return lambda: (built.append(tag) or tag,)
+
+    # seg-style (smaller IoU = more extreme)
+    buf = [(0.2, "a"), (0.3, "b"), (0.5, "c")]
+    merge_worst_k(
+        buf, [(0.1, entry("d")), (0.25, entry("e")), (0.45, entry("f"))],
+        3, reverse=False,
+    )
+    assert [k for k, *_ in buf] == [0.1, 0.2, 0.25]
+    assert built == ["d", "e"]  # 0.45 rejected without building
+
+    # pose-style (larger error = more extreme)
+    buf2 = [(10.0, "a"), (9.0, "b"), (8.0, "c")]
+    merge_worst_k(
+        buf2, [(12.0, entry("x")), (9.5, entry("y")), (7.0, entry("z"))],
+        3, reverse=True,
+    )
+    assert [k for k, *_ in buf2] == [12.0, 10.0, 9.5]
+    assert built == ["d", "e", "x", "y"]
+
+
 def test_pose_evaluator_worst_case_panels(tmp_path):
     from mtg_card_image_segmentation_tpu.ops import heatmap as hm
 

@@ -448,15 +448,9 @@ def top1_detection(boxes, scores, kpts):
     # per-channel heatmaps occasionally swap identities (~2% of corners).
     # Re-sorting the four decoded points into canonical image order repairs
     # every pure swap and is the identity on already-ordered predictions.
-    ctr = jnp.mean(kp[..., :2], axis=1, keepdims=True)
-    ang = jnp.arctan2(
-        kp[..., 1] - ctr[..., 1], kp[..., 0] - ctr[..., 0]
-    )  # (B, K)
-    order = jnp.argsort(ang, axis=1)
-    pts = jnp.take_along_axis(kp, order[..., None], axis=1)
-    start = jnp.argmin(jnp.sum(pts[..., :2], axis=-1), axis=1)  # (B,)
-    roll = (start[:, None] + jnp.arange(kp.shape[1])[None, :]) % kp.shape[1]
-    kp = jnp.take_along_axis(pts, roll[..., None], axis=1)
+    from mtg_card_image_segmentation_tpu.ops.heatmap import canonicalize_corners
+
+    kp = canonicalize_corners(kp)
     return box, jnp.max(conf, axis=-1), kp
 
 

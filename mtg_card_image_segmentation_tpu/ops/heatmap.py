@@ -55,21 +55,12 @@ def decode_argmax(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.stack([xx, yy], axis=-1), vals
 
 
-def decode_argmax_subpixel(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Argmax decode + per-axis quadratic peak refinement (the classic
-    sub-pixel fit): around the integer peak p, a parabola through
-    (f(p-1), f(p), f(p+1)) has its maximum at p + (f(p+1)-f(p-1)) /
-    (2*(2f(p)-f(p+1)-f(p-1))). For Gaussian-trained heatmaps at 1/4 input
-    resolution this removes most of the ~2 px quantization floor of the
-    integer decode. Returns ((B, K, 2) xy in [0,1] by (size-1), (B, K)
-    peak values)."""
-    b, h, w, k = heatmaps.shape
-    hm = heatmaps.astype(jnp.float32)
-    flat = hm.reshape(b, h * w, k)
-    idx = jnp.argmax(flat, axis=1)  # (B, K)
-    vals = jnp.max(flat, axis=1)
-    py = idx // w
-    px = idx % w
+def _quadratic_subpixel(flat, py, px, vals, h, w):
+    """Per-axis quadratic peak refinement at integer peaks (B, K): around
+    peak p, a parabola through (f(p-1), f(p), f(p+1)) has its maximum at
+    p + (f(p+1)-f(p-1)) / (2*(2f(p)-f(p+1)-f(p-1))). Returns [0,1] coords
+    by (size-1). Border peaks keep the integer decode: a clamped neighbor
+    equals the peak itself and the parabola degenerates to ±0.5."""
 
     def at(yy, xx):  # gather f at clamped integer coords, (B, K)
         yy = jnp.clip(yy, 0, h - 1)
@@ -85,13 +76,113 @@ def decode_argmax_subpixel(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
         )
         return jnp.clip(off, -0.5, 0.5)
 
-    # border peaks keep the integer decode: a clamped neighbor equals the
-    # peak itself and the parabola degenerates to a spurious ±0.5 offset
     off_x = refine(at(py, px - 1), at(py, px + 1), (px > 0) & (px < w - 1))
     off_y = refine(at(py - 1, px), at(py + 1, px), (py > 0) & (py < h - 1))
     xx01 = (px.astype(jnp.float32) + off_x) / (w - 1)
     yy01 = (py.astype(jnp.float32) + off_y) / (h - 1)
-    return jnp.stack([xx01, yy01], axis=-1), vals
+    return jnp.stack([xx01, yy01], axis=-1)
+
+
+def decode_argmax_subpixel(heatmaps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Argmax decode + quadratic sub-pixel refinement. For Gaussian-trained
+    heatmaps at 1/4 input resolution this removes most of the ~2 px
+    quantization floor of the integer decode. Returns ((B, K, 2) xy in
+    [0,1] by (size-1), (B, K) peak values)."""
+    b, h, w, k = heatmaps.shape
+    flat = heatmaps.astype(jnp.float32).reshape(b, h * w, k)
+    idx = jnp.argmax(flat, axis=1)  # (B, K)
+    vals = jnp.max(flat, axis=1)
+    return _quadratic_subpixel(flat, idx // w, idx % w, vals, h, w), vals
+
+
+def canonicalize_corners(kp: jax.Array) -> jax.Array:
+    """Re-sort (B, K, C) corner rows (xy in the leading 2 of C) into
+    canonical image order: by angle around the centroid, starting at the
+    smallest x+y — i.e. TL, TR, BR, BL (preprocess_masks.py:196-223 order).
+    Repairs pure corner-identity swaps; identity on already-ordered
+    predictions."""
+    ctr = jnp.mean(kp[..., :2], axis=1, keepdims=True)
+    ang = jnp.arctan2(kp[..., 1] - ctr[..., 1], kp[..., 0] - ctr[..., 0])
+    order = jnp.argsort(ang, axis=1)
+    pts = jnp.take_along_axis(kp, order[..., None], axis=1)
+    start = jnp.argmin(jnp.sum(pts[..., :2], axis=-1), axis=1)  # (B,)
+    roll = (start[:, None] + jnp.arange(kp.shape[1])[None, :]) % kp.shape[1]
+    return jnp.take_along_axis(pts, roll[..., None], axis=1)
+
+
+def decode_joint_nms(
+    heatmaps: jax.Array,
+    num_candidates: int = 3,
+    collision_px: float = 6.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Joint corner decode: per channel, ``num_candidates`` spatially
+    distinct peaks (greedy NMS, radius ``collision_px`` heatmap px); then
+    the best joint assignment over all n^K combinations by sum(conf) minus
+    a collision penalty for coincident corners; quadratic sub-pixel
+    refinement of the chosen peaks; canonical TL/TR/BR/BL reordering.
+
+    Fixes the independent-argmax failure mode where one corner channel
+    peaks on ANOTHER corner's location (observed 1/384 eval images: a
+    430 px miss with three perfect corners — the classic identity
+    confusion on rotated cards). Returns ((B, K, 2) xy in [0,1] by
+    (size-1), (B, K) chosen-peak confidences)."""
+    b, h, w, k = heatmaps.shape
+    flat = heatmaps.astype(jnp.float32).reshape(b, h * w, k)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+
+    masked = flat
+    picks = []
+    for _ in range(num_candidates):
+        idx = jnp.argmax(masked, axis=1)  # (B, K)
+        picks.append(idx)
+        sel_x = xs[idx]  # (B, K)
+        sel_y = ys[idx]
+        d2 = (xs[None, :, None] - sel_x[:, None, :]) ** 2 + (
+            ys[None, :, None] - sel_y[:, None, :]
+        ) ** 2  # (B, HW, K)
+        masked = jnp.where(d2 < collision_px**2, -jnp.inf, masked)
+    idx3 = jnp.stack(picks, axis=-1)  # (B, K, n)
+    conf3 = jnp.take_along_axis(
+        jnp.swapaxes(flat, 1, 2), idx3, axis=2
+    )  # (B, K, n) original confidences
+    x3 = xs[idx3]  # (B, K, n)
+    y3 = ys[idx3]
+
+    digits = []
+    for c in range(num_candidates**k):
+        q, row = c, []
+        for _ in range(k):
+            row.append(q % num_candidates)
+            q //= num_candidates
+        digits.append(row)
+    combos = jnp.asarray(digits)  # (n^K, K)
+    kk_idx = jnp.arange(k)[None, :]
+    cx = x3[:, kk_idx, combos]  # (B, n^K, K)
+    cy = y3[:, kk_idx, combos]
+    cconf = conf3[:, kk_idx, combos]
+    d2c = (cx[..., None, :] - cx[..., :, None]) ** 2 + (
+        cy[..., None, :] - cy[..., :, None]
+    ) ** 2  # (B, n^K, K, K)
+    collide = (d2c < collision_px**2) & ~jnp.eye(k, dtype=bool)
+    penalty = jnp.sum(collide, axis=(-1, -2)).astype(jnp.float32) * 10.0
+    best = jnp.argmax(jnp.sum(cconf, axis=-1) - penalty, axis=1)  # (B,)
+    rank = jnp.take_along_axis(combos[None], best[:, None, None], axis=1)[
+        :, 0
+    ]  # (B, K)
+    idx_best = jnp.take_along_axis(idx3, rank[..., None], axis=2)[..., 0]  # (B, K)
+    vals = jnp.take_along_axis(
+        jnp.swapaxes(flat, 1, 2), idx_best[..., None], axis=2
+    )[..., 0]
+    coords01 = _quadratic_subpixel(
+        flat, idx_best // w, idx_best % w, vals, h, w
+    )
+    ordered = canonicalize_corners(
+        jnp.concatenate([coords01 * jnp.asarray([w - 1, h - 1]),
+                         vals[..., None]], axis=-1)
+    )
+    coords01 = ordered[..., :2] / jnp.asarray([w - 1, h - 1])
+    return coords01, ordered[..., 2]
 
 
 def decode_soft_argmax(

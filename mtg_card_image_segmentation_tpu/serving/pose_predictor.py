@@ -4,16 +4,18 @@ The pose analog of :class:`~...serving.predictor.SegPredictor` (the
 reference's deployment flow is inference_test.py: preprocess -> model ->
 peak extraction -> scale-to-original): ONE jitted program taking uint8
 camera frames and returning pixel corner coordinates + confidences —
-uint8 -> fused Pallas normalize (bf16) -> HRNet -> heatmap decode with
-quarter-offset sub-pixel refinement -> input-pixel scaling. No host
-round-trips between stages; BN runs in inference mode (its affine
+uint8 -> fused Pallas normalize (bf16) -> HRNet -> joint-NMS heatmap
+decode with quadratic sub-pixel refinement -> input-pixel scaling. No
+host round-trips between stages; BN runs in inference mode (its affine
 constant-folds into the surrounding convs at compile time).
 
-Quarter-offset refinement (standard HRNet post-processing, and the
-sub-pixel analog of inference_test.py:221-255's peak extraction): shift
-the argmax 0.25 heatmap px toward the larger of each axis' two
-neighbors. Exact argmax decode (= PoseEvaluator's reported numbers) is
-available with ``refine=False``.
+The decode (ops/heatmap.py decode_joint_nms, = PoseEvaluator's reported
+numbers) selects 3 spatially distinct peaks per corner channel, picks the
+best non-colliding joint assignment, refines each peak with the quadratic
+sub-pixel fit, and canonically reorders — fixing both the ~2 px argmax
+quantization floor and the rare corner-identity confusion. The
+reference's plain integer argmax (inference_test.py:221-255) is available
+with ``refine=False``.
 """
 
 from __future__ import annotations
@@ -72,11 +74,10 @@ class PosePredictor:
             heatmaps = model.apply(
                 {"params": params, "batch_stats": stats}, x, train=False
             )
-            # refine=True: quadratic sub-pixel peak fit (supersedes the
-            # earlier sign-based +-0.25 scheme — measured better on the
-            # Gaussian-trained heads); False: reference integer argmax
+            # refine=True: joint-NMS decode + quadratic sub-pixel fit;
+            # False: reference integer argmax
             if refine:
-                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
+                coords01, conf = hm_lib.decode_joint_nms(heatmaps)
             else:
                 coords01, conf = hm_lib.decode_argmax(heatmaps)
             px = hm_lib.coords01_to_pixels(coords01, (height, width))
@@ -139,9 +140,10 @@ class YoloCornerPredictor:
     ``model.predict(max_det=1)`` + keypoint extraction,
     *_yolo12n/model.py:215-264 / evaluate_model.py:74-133): uint8 frames ->
     /255 (ultralytics preprocessing — no ImageNet normalization) -> YOLO12
-    forward + in-graph anchor decode -> joint top-2 corner assignment with
-    collision penalty + canonical reordering (models/yolo12_pose.py
-    top1_detection) -> per-corner pixel xy + confidence.
+    forward + in-graph anchor decode -> joint corner assignment over 3
+    greedy-NMS peaks per channel with collision penalty + canonical
+    reordering (models/yolo12_pose.py top1_detection) -> per-corner pixel
+    xy + confidence.
     """
 
     def __init__(

@@ -58,6 +58,45 @@ def test_decode_argmax_subpixel_quadratic():
     assert err_sub < err_int
 
 
+def test_decode_joint_nms_matches_subpixel_on_clean_heatmaps():
+    """With one clean Gaussian per channel the joint decode must equal the
+    plain sub-pixel decode (the joint machinery is the identity when
+    channels don't conflict)."""
+    centers = jnp.asarray([[[5.3, 3.7], [40.2, 6.1], [41.6, 25.4], [6.0, 24.0]]])
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)
+    cj, vj = hm.decode_joint_nms(targets)
+    cs, vs = hm.decode_argmax_subpixel(targets)
+    np.testing.assert_allclose(np.asarray(cj), np.asarray(cs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vj), np.asarray(vs), atol=1e-5)
+
+
+def test_decode_joint_nms_identity_confusion_regression():
+    """Observed in the 384-image HRNet eval: one corner channel peaked ON
+    another corner's location (430 px miss with three perfect corners).
+    The joint decode must place that channel at its secondary true peak
+    and the canonical reorder must keep the TL,TR,BR,BL identity."""
+    true = np.array([[6.0, 4.0], [40.0, 6.0], [42.0, 26.0], [7.0, 25.0]],
+                    np.float32)
+    hms = []
+    for ch in range(4):
+        g = np.asarray(hm.gaussian_heatmaps(
+            jnp.asarray(true[ch:ch + 1]), 32, 48, 1.5))[..., 0]
+        hms.append(g)
+    # channel 0 (TL): dominant FALSE peak at BL's location, true peak weaker
+    false_peak = np.asarray(hm.gaussian_heatmaps(
+        jnp.asarray(true[3:4]), 32, 48, 1.5))[..., 0]
+    hms[0] = 0.6 * hms[0] + 0.9 * false_peak
+    heat = jnp.asarray(np.stack(hms, axis=-1))[None]  # (1, 32, 48, 4)
+
+    cj, _ = hm.decode_joint_nms(heat)
+    px = np.asarray(hm.coords01_to_pixels(cj, (32, 48)))[0]
+    np.testing.assert_allclose(px, true, atol=0.5)
+    # the naive independent decode DOES fail here (guards test validity)
+    ci, _ = hm.decode_argmax_subpixel(heat)
+    pxi = np.asarray(hm.coords01_to_pixels(ci, (32, 48)))[0]
+    assert np.abs(pxi[0] - true[0]).max() > 10.0
+
+
 def test_decode_soft_argmax_subpixel():
     centers = jnp.asarray([[[5.3, 3.7], [10.2, 6.1], [1.5, 1.5], [8.8, 2.2]]])
     targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)

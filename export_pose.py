@@ -188,17 +188,11 @@ def main() -> None:
                   "normalization": "/255 only (no ImageNet normalization)"},
         "output": {
             "name": "heatmaps", "shape": [1, k, hm_h, hm_w],
-            "decode": "for the reported accuracy mirror ops/heatmap.py "
-                      "decode_joint_nms: per channel take 3 spatially "
-                      "distinct peaks (greedy NMS, radius 6 hm-px), pick "
-                      "the best joint assignment by sum(conf) minus a "
-                      "collision penalty for coincident corners, refine "
-                      "each peak by the per-axis quadratic fit x += "
-                      "0.5*(f[x+1]-f[x-1])/(2f[x]-f[x+1]-f[x-1]) "
-                      "(interior peaks only), reorder TL,TR,BR,BL by "
-                      "angle, then scale by (input_size-1)/"
-                      "(heatmap_size-1). Plain per-channel argmax loses "
-                      "~2px to quantization and rarely swaps identities.",
+            "decode": "per-channel argmax -> (x, y); for the reported "
+                      "sub-pixel accuracy refine each peak by the "
+                      "quadratic fit x += 0.5*(f[x+1]-f[x-1]) / "
+                      "(2f[x]-f[x+1]-f[x-1]) per axis (interior peaks "
+                      "only), then scale by (input_size-1)/(heatmap_size-1)",
         },
         "parameters": count_parameters(params),
         "opset": 19,

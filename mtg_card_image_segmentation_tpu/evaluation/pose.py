@@ -46,7 +46,7 @@ class PoseEvaluator:
             @jax.jit
             def predict_step(variables, images):
                 heatmaps = apply_fn(variables, images, train=False)
-                coords01, conf = hm_lib.decode_joint_nms(heatmaps)
+                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
                 px = hm_lib.coords01_to_pixels(coords01, image_hw)
                 return px, conf
 

@@ -121,11 +121,21 @@ def decode_joint_nms(
     a collision penalty for coincident corners; quadratic sub-pixel
     refinement of the chosen peaks; canonical TL/TR/BR/BL reordering.
 
-    Fixes the independent-argmax failure mode where one corner channel
+    Targets the independent-argmax failure mode where one corner channel
     peaks on ANOTHER corner's location (observed 1/384 eval images: a
-    430 px miss with three perfect corners — the classic identity
-    confusion on rotated cards). Returns ((B, K, 2) xy in [0,1] by
-    (size-1), (B, K) chosen-peak confidences)."""
+    430 px miss with three perfect corners). Returns ((B, K, 2) xy in
+    [0,1] by (size-1), (B, K) chosen-peak confidences).
+
+    STATUS — measured NEGATIVE for the HRNet family, kept for reference:
+    on the full 384-image eval this decode scored mean 1.23 px vs the
+    independent sub-pixel decode's 0.95 px. Under MSE heatmap training a
+    confused channel's secondary NMS peaks are diffuse noise (unlike the
+    YOLO head's focal-trained per-corner confidences, where the same
+    joint scheme took acc@5px from 98.9% to 99.9%): the identity-confused
+    image only improved 430 -> 322 px while a few good corners regressed
+    to noise peaks via the collision penalty. HRNet consumers therefore
+    use :func:`decode_argmax_subpixel`; the YOLO anchor-domain analog
+    lives in models/yolo12_pose.py top1_detection."""
     b, h, w, k = heatmaps.shape
     flat = heatmaps.astype(jnp.float32).reshape(b, h * w, k)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)

@@ -4,18 +4,17 @@ The pose analog of :class:`~...serving.predictor.SegPredictor` (the
 reference's deployment flow is inference_test.py: preprocess -> model ->
 peak extraction -> scale-to-original): ONE jitted program taking uint8
 camera frames and returning pixel corner coordinates + confidences —
-uint8 -> fused Pallas normalize (bf16) -> HRNet -> joint-NMS heatmap
-decode with quadratic sub-pixel refinement -> input-pixel scaling. No
-host round-trips between stages; BN runs in inference mode (its affine
+uint8 -> fused Pallas normalize (bf16) -> HRNet -> heatmap decode with
+quadratic sub-pixel refinement -> input-pixel scaling. No host
+round-trips between stages; BN runs in inference mode (its affine
 constant-folds into the surrounding convs at compile time).
 
-The decode (ops/heatmap.py decode_joint_nms, = PoseEvaluator's reported
-numbers) selects 3 spatially distinct peaks per corner channel, picks the
-best non-colliding joint assignment, refines each peak with the quadratic
-sub-pixel fit, and canonically reorders — fixing both the ~2 px argmax
-quantization floor and the rare corner-identity confusion. The
-reference's plain integer argmax (inference_test.py:221-255) is available
-with ``refine=False``.
+The decode (ops/heatmap.py decode_argmax_subpixel, = PoseEvaluator's
+reported numbers) removes the ~2 px argmax quantization floor with a
+per-axis quadratic peak fit. The reference's plain integer argmax
+(inference_test.py:221-255) is available with ``refine=False``.
+(A joint-NMS decode like the YOLO family's was measured WORSE here —
+see ops/heatmap.py decode_joint_nms's STATUS note.)
 """
 
 from __future__ import annotations
@@ -74,10 +73,10 @@ class PosePredictor:
             heatmaps = model.apply(
                 {"params": params, "batch_stats": stats}, x, train=False
             )
-            # refine=True: joint-NMS decode + quadratic sub-pixel fit;
+            # refine=True: quadratic sub-pixel fit;
             # False: reference integer argmax
             if refine:
-                coords01, conf = hm_lib.decode_joint_nms(heatmaps)
+                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
             else:
                 coords01, conf = hm_lib.decode_argmax(heatmaps)
             px = hm_lib.coords01_to_pixels(coords01, (height, width))

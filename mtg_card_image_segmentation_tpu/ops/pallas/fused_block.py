@@ -13,18 +13,21 @@ kernel keeps the whole per-image feature map VMEM-resident:
 - SE is a spatial mean + two tiny matmuls + hardsigmoid gate, in-register.
 
 HBM traffic per block drops from (in + 2*expanded + out) to (in + out).
-Grid is (batch,); VMEM holds one image's maps (raised scoped limit), which
-bounds applicability to the 320x240-scale feature maps; 512x512 needs the
-halo-tiled DMA variant (planned). Folded (BN-free) weights only: use
-export.fold_bn first. Golden-tested against models.layers.InvertedResidual
-in tests/test_pallas_fused_block.py.
+The grid batches as many images per step as fit the VMEM budget
+(shape-adaptive tiling, `_grid_batch`); blocks whose per-image maps exceed
+VMEM have no valid tiling and raise ValueError (callers fall back to XLA
+per block). Folded (BN-free) weights only: use export.fold_bn first.
+Golden-tested against models.layers.InvertedResidual in
+tests/test_pallas_fused_block.py.
 
-STATUS: correctness-validated on TPU (maxdiff ~1.6e-2, bf16 expanded path)
-but measured perf-NEUTRAL vs XLA at the 320x240 operating point (11.1ms vs
-11.0ms, B128 block1) — at this size both paths are latency-bound, not
-HBM-bound, so the saved expanded-tensor traffic doesn't show. Not wired
-into the model; kept as the foundation for the halo-tiled variant where
-the traffic argument actually binds.
+STATUS (measured on the real v5e): correctness-validated (maxdiff ~1.6e-2,
+bf16 expanded path). Where it WINS: the three dilated-tail blocks at
+512x512 serving (32x32 maps, ~250 MB expanded tensors in the XLA path) —
+fusing them saves ~2.7 ms e2e, and serving/predictor.py runs them through
+this kernel (FUSED_BLOCKS = (12, 13, 14)). Where it LOSES: large-spatial
+blocks — the in-kernel VPU stencil costs more than the saved HBM traffic
+(e.g. block1 @320x240 B128: 11.1 ms vs XLA 11.0) — those stay on XLA
+convs. See serving/predictor.py:74-80 for the measured serving policy.
 """
 
 from __future__ import annotations

@@ -24,9 +24,20 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
-    """``with trace("logs/profile"): run_steps()`` -> TensorBoard trace."""
-    jax.profiler.start_trace(log_dir)
+def trace(log_dir: str, python_tracer: bool = False):
+    """``with trace("logs/profile"): run_steps()`` -> TensorBoard trace.
+
+    The Python tracer is OFF by default: the exported chrome trace caps at
+    1e6 events and a profiled bench loop emits enough host-python events to
+    evict every device op from the export (measured — a 10-iter serving
+    trace had 1,000,000 python events and zero XLA op events)."""
+    options = None
+    try:
+        options = jax.profiler.ProfileOptions()
+        options.python_tracer_level = 1 if python_tracer else 0
+    except Exception:  # noqa: BLE001 — older jax without ProfileOptions
+        options = None
+    jax.profiler.start_trace(log_dir, profiler_options=options)
     try:
         yield
     finally:

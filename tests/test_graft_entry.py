@@ -12,7 +12,10 @@ is hermetic:
   if any computation dispatches to the default backend, init hangs or dies
   and the subprocess fails the time bound.
 
-Budget: the CPU-pinned dryrun measures ~75-110 s on this host; bound at 360 s.
+Budget: the CPU-pinned dryrun measures ~75-110 s on this host IDLE; under a
+full parallel test-suite + concurrent bench load it was measured to blow a
+360 s bound (one flake). Bound at 900 s — the bound exists to catch a HANG
+(dispatch to an unreachable TPU never returns), not to assert speed.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNIPPET = (
     "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"
 )
-TIMEOUT = 360
+TIMEOUT = 900
 
 
 def _run(extra_env: dict) -> subprocess.CompletedProcess:

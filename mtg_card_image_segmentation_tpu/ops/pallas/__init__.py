@@ -10,11 +10,13 @@ from mtg_card_image_segmentation_tpu.ops.pallas.preprocess import (
     fused_normalize,
 )
 from mtg_card_image_segmentation_tpu.ops.pallas.decoder import (
+    fused_head_decode,
     fused_mask_decode,
     upsample2x_add,
 )
 from mtg_card_image_segmentation_tpu.ops.pallas.stem import fused_stem
 
 __all__ = [
-    "fused_normalize", "upsample2x_add", "fused_mask_decode", "fused_stem",
+    "fused_normalize", "upsample2x_add", "fused_mask_decode",
+    "fused_head_decode", "fused_stem",
 ]

@@ -28,6 +28,17 @@ this kernel (FUSED_BLOCKS = (12, 13, 14)). Where it LOSES: large-spatial
 blocks — the in-kernel VPU stencil costs more than the saved HBM traffic
 (e.g. block1 @320x240 B128: 11.1 ms vs XLA 11.0) — those stay on XLA
 convs. See serving/predictor.py:74-80 for the measured serving policy.
+
+Tried and rejected (don't re-try): replacing the shift/concat stencil with
+static slices of a zero-padded f32 VMEM scratch. An isolated microbench
+fenced with block_until_ready() showed blk13 4.36 -> 0.54 ms, but
+block_until_ready reports EARLY through the axon relay (bench.py's warning
+applies to kernels too — always fence with a host materialization);
+a device-trace profile of the real serving program showed the scratch
+variant is SLOWER in context (pallas blocks 9.7 ms vs 8.4, e2e 25.8 vs
+24.4 ms @512x512 b128): the f32 scratch halves images-per-step (VMEM) and
+the zero-fill + staging store add VPU work that the saved per-term
+converts don't pay back.
 """
 
 from __future__ import annotations
@@ -170,17 +181,30 @@ def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
 
 
 def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
-                          cout: int) -> int:
+                          cout: int, stride: int = 1, itemsize: int = 2) -> int:
     """Largest divisor of ``b`` (<= 16) whose VMEM working set fits and
     whose flattened sublane count bt*h*w is a multiple of 8. Fewer grid
     steps = less per-step overhead; the expanded map + fp32 stencil
-    accumulator dominate the footprint."""
-    budget = 72 * 1024 * 1024  # leave headroom under the 100MB scoped limit
+    accumulator dominate the footprint.
+
+    The budget also counts the pallas in/out DMA windows: each is
+    double-buffered AND lane-padded to a multiple of 128 channels (a 16-ch
+    256x256 input window allocates 8x its nominal bytes — measured compile
+    OOM: 2x128MB windows for block shape (4,256,256,16) against the 128MB
+    physical VMEM). Undercounting them makes the compile fail OUTSIDE this
+    function's control, as an XLA OOM error instead of the ValueError ->
+    XLA-fallback contract."""
+    budget = 92 * 1024 * 1024  # vs the 100MB scoped cap requested below
     if w % 8 != 0:
         # Mosaic's shape cast can only collapse the spatial dims into the
         # sublane axis when the second-minor dim is sublane-aligned
         # (measured: (8,20,15,672)->(2400,672) rejected, w=32 fine)
         return 0
+
+    def lanes(c: int) -> int:
+        return -(-c // 128) * 128
+
+    oh, ow = h // stride, w // stride
     for bt in (16, 8, 4, 2, 1):
         if b % bt != 0:
             continue
@@ -190,8 +214,10 @@ def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
             2 * cexp  # expanded bf16
             + 4 * cexp  # fp32 stencil accumulator
             + 2 * cexp  # shifted term temp
-            + 2 * cin + 4 * cout  # input + output
-        )
+            + 2 * cin + 4 * cout  # input + output (in-register)
+        ) + bt * 2 * (  # double-buffered DMA windows, lane-padded
+            h * w * lanes(cin) + oh * ow * lanes(cout)
+        ) * itemsize
         if bytes_needed <= budget:
             return bt
     return 0  # no valid tiling (caller falls back to XLA)
@@ -233,7 +259,9 @@ def fused_inverted_residual(
     cexp = params["depthwise"]["conv"]["kernel"].shape[-1]
     cout = params["project"]["conv"]["kernel"].shape[-1]
     oh, ow = h // stride, w // stride
-    bt = images_per_step or _pick_images_per_step(b, h, w, cin, cexp, cout)
+    bt = images_per_step or _pick_images_per_step(
+        b, h, w, cin, cexp, cout, stride=stride, itemsize=x.dtype.itemsize
+    )
     if bt == 0 or b % bt != 0 or (bt * h * w) % 8 != 0:
         raise ValueError(
             f"no valid fused tiling for shape {x.shape} (bt={bt})"

@@ -36,6 +36,7 @@ from mtg_card_image_segmentation_tpu.models.mobilenetv3 import (
     MobileNetV3Backbone,
 )
 from mtg_card_image_segmentation_tpu.ops.pallas import (
+    fused_head_decode,
     fused_mask_decode,
     fused_stem,
 )
@@ -187,16 +188,8 @@ def _head_score_s8(head_params, low, high, dtype):
     ).apply({"params": hp["cbr"]}, high)
     # image-level gate: pool fp32 -> 1x1 (no bias) -> sigmoid, (B, C_inter)
     m = jnp.mean(high.astype(jnp.float32), axis=(1, 2))
-    w_scale = hp["scale"]["kernel"].reshape(m.shape[-1], -1).astype(jnp.float32)
+    w_scale, w_hi_d, w_lo_d, bias_d = _head_gate_vectors(hp)
     gate = jax.nn.sigmoid(m @ w_scale)  # (B, 128)
-
-    # classifier weight differences (card minus background)
-    w_hi = hp["high_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
-    b_hi = hp["high_classifier"]["bias"].astype(jnp.float32)
-    w_lo = hp["low_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
-    b_lo = hp["low_classifier"]["bias"].astype(jnp.float32)
-    w_hi_d, b_hi_d = w_hi[:, 1] - w_hi[:, 0], b_hi[1] - b_hi[0]
-    w_lo_d, b_lo_d = w_lo[:, 1] - w_lo[:, 0], b_lo[1] - b_lo[0]
 
     # gate folds into the high classifier: (x*g) @ w == x @ (g*w), per batch
     hs = jnp.einsum(
@@ -211,7 +204,51 @@ def _head_score_s8(head_params, low, high, dtype):
     uh = jnp.asarray(_interp_matrix(hs.shape[1], ls.shape[1]))
     uw = jnp.asarray(_interp_matrix(hs.shape[2], ls.shape[2]).T)
     hs = jnp.einsum("Hh,bhw,wW->bHW", uh, hs, uw)
-    return hs + ls + (b_hi_d + b_lo_d)
+    return hs + ls + bias_d
+
+
+def _head_gate_vectors(head_params):
+    """Folded classifier vectors shared by the head formulations:
+    (w_scale, w_hi_d, w_lo_d, bias_d) — card-minus-background differences."""
+    hp = head_params
+    w_scale = hp["scale"]["kernel"]
+    w_scale = w_scale.reshape(w_scale.shape[-2], -1).astype(jnp.float32)
+    w_hi = hp["high_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
+    b_hi = hp["high_classifier"]["bias"].astype(jnp.float32)
+    w_lo = hp["low_classifier"]["kernel"].reshape(-1, 2).astype(jnp.float32)
+    b_lo = hp["low_classifier"]["bias"].astype(jnp.float32)
+    return (
+        w_scale,
+        w_hi[:, 1] - w_hi[:, 0],
+        w_lo[:, 1] - w_lo[:, 0],
+        (b_hi[1] - b_hi[0]) + (b_lo[1] - b_lo[0]),
+    )
+
+
+def _head_decode_mask(head_params, low, high, dtype, out_h, out_w):
+    """cbr + gate in XLA, then the whole head tail + mask decode as ONE
+    Pallas kernel (fused_head_decode) — same exact math as
+    _head_score_s8 -> fused_mask_decode, one HBM pass over the features.
+
+    STATUS (measured on v5e, 512x512 b128, in-process A/B): LOSES 5 ms e2e
+    (30.8 vs 25.9 ms) — the head's hot op is the 3x3 960->128 cbr conv
+    (~2.3 GFLOP/image, MXU-roofline ~1.7 ms/batch), which this fusion does
+    not touch; the gated einsum it absorbs rides the conv's epilogue for
+    ~free in XLA, while the per-image kernel re-reads the cbr features and
+    adds 128 grid steps of launch/DMA overhead. Kept as an opt-in
+    (``SegPredictor(fused_head=True)``) with its golden test; the serving
+    default stays on the XLA head + fused_mask_decode."""
+    hp = head_params
+    x = ConvBNAct(
+        hp["cbr"]["conv"]["kernel"].shape[-1], 3, act="relu", fold_bn=True,
+        dtype=dtype, param_dtype=dtype,
+    ).apply({"params": hp["cbr"]}, high)
+    m = jnp.mean(high.astype(jnp.float32), axis=(1, 2))
+    w_scale, w_hi_d, w_lo_d, bias_d = _head_gate_vectors(hp)
+    gate = jax.nn.sigmoid(m @ w_scale)  # (B, C_inter)
+    return fused_head_decode(
+        x, gate * w_hi_d[None, :], low, w_lo_d, bias_d, out_h, out_w
+    )
 
 
 def maybe_shard_predict(predict, mesh, n_param_args: int = 1, n_outputs: int = 1):
@@ -273,6 +310,7 @@ class SegPredictor:
         use_pallas: bool = True,
         dtype=jnp.bfloat16,
         fused_blocks=FUSED_BLOCKS,
+        fused_head: bool = False,
         quantize: Optional[str] = None,
         mesh=None,
     ) -> None:
@@ -340,6 +378,11 @@ class SegPredictor:
                     x = (images_u8.astype(jnp.float32) - center).astype(dtype)
                 taps = _fused_backbone(p["backbone"], x, dtype, fused_blocks,
                                        stem_done=stem_ok)
+                if fused_head:
+                    return _head_decode_mask(
+                        p["head"], taps["low"], taps["high"], dtype,
+                        height, width,
+                    )
                 score = _head_score_s8(p["head"], taps["low"], taps["high"], dtype)
                 return fused_mask_decode(score, height, width)
 

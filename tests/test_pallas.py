@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from mtg_card_image_segmentation_tpu.data.preprocess import preprocess_batch
 from mtg_card_image_segmentation_tpu.ops.pallas import (
     fused_stem,
+    fused_head_decode,
     fused_mask_decode,
     fused_normalize,
     upsample2x_add,
@@ -61,6 +62,31 @@ def test_fused_mask_decode_odd_sizes():
     ours = np.asarray(fused_mask_decode(scores, 100, 75, interpret=True))
     full = bilinear_resize(jnp.asarray(logits), 100, 75)
     ref = np.asarray(jnp.argmax(full, axis=-1)).astype(np.uint8)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_fused_head_decode_matches_composed_pipeline():
+    """fused_head_decode == gated-matvec + 2x upsample + low-matvec + bias,
+    then argmax(bilinear_resize(logits)) — composed from independent XLA
+    pieces (ops.resize is torch-verified)."""
+    rng = np.random.default_rng(5)
+    b, h16, w16, c, cl = 2, 10, 8, 24, 12
+    h8, w8 = 2 * h16, 2 * w16
+    x = jnp.asarray(rng.standard_normal((b, h16, w16, c)), jnp.float32)
+    gw = jnp.asarray(rng.standard_normal((b, c)), jnp.float32)
+    low = jnp.asarray(rng.standard_normal((b, h8, w8, cl)), jnp.float32)
+    w_lo = jnp.asarray(rng.standard_normal(cl), jnp.float32)
+    bias = jnp.float32(0.17)
+
+    ours = np.asarray(
+        fused_head_decode(x, gw, low, w_lo, bias, 160, 128, interpret=True)
+    )
+
+    hs = jnp.einsum("bhwc,bc->bhw", x, gw)
+    hs = bilinear_resize(hs[..., None], h8, w8)[..., 0]
+    score = hs + jnp.einsum("bhwc,c->bhw", low, w_lo) + bias
+    full = bilinear_resize(score[..., None], 160, 128)[..., 0]
+    ref = (np.asarray(full) > 0).astype(np.uint8)
     np.testing.assert_array_equal(ours, ref)
 
 

@@ -48,6 +48,7 @@ class PosePredictor:
         threshold: float = 0.3,
         use_pallas: bool = True,
         mesh=None,
+        auto_layout: bool = True,
     ) -> None:
         model = create_model(
             "hrnet_pose", num_keypoints=num_keypoints,
@@ -85,11 +86,19 @@ class PosePredictor:
         # multi-chip: batch-sharded over the mesh's 'data' axis (see
         # predictor.maybe_shard_predict)
         from mtg_card_image_segmentation_tpu.serving.predictor import (
+            _AutoLayoutExec,
             maybe_shard_predict,
         )
 
         self._predict = maybe_shard_predict(
             predict, mesh, n_param_args=2, n_outputs=2
+        )
+        # AUTO-layout input/param staging (predictor._AutoLayoutExec):
+        # kills the graph-entry relayout copy on single-device serving
+        self._auto = (
+            _AutoLayoutExec(predict, (self._params, self._stats))
+            if auto_layout and (mesh is None or mesh.devices.size <= 1)
+            else None
         )
 
     @classmethod
@@ -107,6 +116,10 @@ class PosePredictor:
     def predict(self, images_u8):
         """(B, H, W, 3) uint8 -> ((B, 4, 2) float32 xy input pixels,
         (B, 4) float32 peak confidences)."""
+        if self._auto is not None:
+            out = self._auto(images_u8)
+            if out is not None:
+                return out
         return self._predict(self._params, self._stats, jnp.asarray(images_u8))
 
     def predict_valid(self, images_u8):
@@ -153,6 +166,7 @@ class YoloCornerPredictor:
         dtype=jnp.bfloat16,
         threshold: float = 0.25,
         mesh=None,
+        auto_layout: bool = True,
     ) -> None:
         from mtg_card_image_segmentation_tpu.models.yolo12_pose import (
             top1_detection,
@@ -176,11 +190,17 @@ class YoloCornerPredictor:
             return kp[..., :2].astype(jnp.float32), kp[..., 2].astype(jnp.float32)
 
         from mtg_card_image_segmentation_tpu.serving.predictor import (
+            _AutoLayoutExec,
             maybe_shard_predict,
         )
 
         self._predict = maybe_shard_predict(
             predict, mesh, n_param_args=2, n_outputs=2
+        )
+        self._auto = (
+            _AutoLayoutExec(predict, (self._params, self._stats))
+            if auto_layout and (mesh is None or mesh.devices.size <= 1)
+            else None
         )
 
     @classmethod
@@ -196,6 +216,10 @@ class YoloCornerPredictor:
     def predict(self, images_u8):
         """(B, S, S, 3) uint8 -> ((B, 4, 2) float32 xy input pixels,
         (B, 4) float32 per-corner confidences)."""
+        if self._auto is not None:
+            out = self._auto(images_u8)
+            if out is not None:
+                return out
         return self._predict(self._params, self._stats, jnp.asarray(images_u8))
 
     def predict_valid(self, images_u8):

@@ -278,6 +278,84 @@ def maybe_shard_predict(predict, mesh, n_param_args: int = 1, n_outputs: int = 1
     )
 
 
+class _AutoLayoutExec:
+    """Per-input-shape AOT executables with XLA-chosen (AUTO) input layouts.
+
+    The default row-major uint8 image layout is NOT what the TPU backbone
+    wants: XLA picks a tiled (1,2,3,0) layout and, under plain ``jit``,
+    inserts a relayout copy at graph start (measured 0.73 ms of a 24.5 ms
+    batch-128 512x512 forward). Compiling with ``Layout.AUTO`` surfaces the
+    preferred formats so inputs can be staged into them ahead of time —
+    host->device transfers can write an arbitrary layout at no extra cost,
+    so a real serving pipeline gets the copy back for free (measured e2e:
+    22.5 vs 24.5 ms, +9%). Param trees are staged once per input shape; on
+    a backend without layout support the first failure flips ``enabled``
+    off and callers fall back to their plain jit path (the same
+    degrade-don't-fail policy as the demo's provider ladder).
+    """
+
+    def __init__(self, predict_fn, param_trees: tuple) -> None:
+        self._fn = predict_fn
+        self._trees = param_trees
+        self.enabled = os.environ.get("MTG_AUTO_LAYOUT") != "0"
+        self._cache: dict = {}
+
+    def _compile(self, images_aval):
+        from jax.experimental.layout import Format, Layout
+
+        auto = Format(Layout.AUTO)
+        jitted = jax.jit(
+            self._fn, in_shardings=tuple([auto] * (len(self._trees) + 1))
+        )
+        compiled = jitted.lower(*self._trees, images_aval).compile()
+        in_formats, _ = compiled.input_formats
+        *tree_formats, image_format = in_formats
+        staged = tuple(
+            jax.tree.map(lambda a, f: jax.device_put(a, f), t, fmts)
+            for t, fmts in zip(self._trees, tree_formats)
+        )
+        return compiled, staged, image_format
+
+    def _entry(self, shape, dtype):
+        if not self.enabled:
+            return None
+        key = (tuple(shape), np.dtype(dtype).name)
+        entry = self._cache.get(key)
+        if entry is None:
+            try:
+                entry = self._compile(jax.ShapeDtypeStruct(shape, dtype))
+            except Exception:
+                self.enabled = False
+                return None
+            self._cache[key] = entry
+        return entry
+
+    def stage(self, images) -> jax.Array:
+        """Transfer ``images`` into the layout the compiled program wants
+        (compiling for this shape if needed). Staging once lets repeated
+        calls skip the relayout; unsupported backends pass through."""
+        arr = images if isinstance(images, jax.Array) else np.asarray(images)
+        entry = self._entry(np.shape(arr), arr.dtype)
+        if entry is None:
+            return jnp.asarray(images)
+        _, _, image_format = entry
+        if isinstance(arr, jax.Array) and getattr(arr, "format", None) == \
+                image_format:
+            return arr
+        return jax.device_put(arr, image_format)
+
+    def __call__(self, images):
+        """Run the staged executable; None = caller takes the jit path."""
+        if not self.enabled:
+            return None
+        images = self.stage(images)
+        entry = self._entry(images.shape, images.dtype)
+        if entry is None:
+            return None
+        compiled, staged_trees, _ = entry
+        return compiled(*staged_trees, images)
+
+
 def _dequant_jax(tree, dtype):
     """In-jit dequantization of a quantize_params tree (shared traversal
     with the host-side inverse — export/quantize.py)."""
@@ -313,6 +391,7 @@ class SegPredictor:
         fused_head: bool = False,
         quantize: Optional[str] = None,
         mesh=None,
+        auto_layout: bool = True,
     ) -> None:
         folded = fold_batch_norm(params, batch_stats)
         if use_pallas:
@@ -402,6 +481,13 @@ class SegPredictor:
 
         self.mesh = mesh
         self._predict = maybe_shard_predict(predict, mesh)
+        # AUTO-layout staging (single-device serving only: shard_map'd
+        # programs get formats per shard, not worth the complexity).
+        self._auto = (
+            _AutoLayoutExec(predict, (self._params,))
+            if auto_layout and (mesh is None or mesh.devices.size <= 1)
+            else None
+        )
 
     @classmethod
     def from_checkpoint(
@@ -415,9 +501,20 @@ class SegPredictor:
         params, batch_stats, _ = ckpt_lib.load_params(checkpoint_dir, name)
         return cls(params, batch_stats, height, width, **kw)
 
+    def stage(self, images_u8) -> jax.Array:
+        """Transfer ``images_u8`` into the layout the compiled program
+        prefers (see :class:`_AutoLayoutExec`)."""
+        if self._auto is None:
+            return jnp.asarray(images_u8)
+        return self._auto.stage(images_u8)
+
     def predict(self, images_u8) -> jax.Array:
         """(B, H, W, 3) uint8 (already at model resolution) -> (B, H, W)
         uint8 {0,1} masks."""
+        if self._auto is not None:
+            out = self._auto(images_u8)
+            if out is not None:
+                return out
         return self._predict(self._params, jnp.asarray(images_u8))
 
     def mask_agreement(self, other: "SegPredictor", images_u8) -> float:

@@ -370,3 +370,110 @@ class TestPosePredictor:
         dx = np.abs(np.asarray(ref01[..., 0] - coords01[..., 0])) * (24 - 1)
         dy = np.abs(np.asarray(ref01[..., 1] - coords01[..., 1])) * (16 - 1)
         assert dx.max() <= 0.5 + 1e-5 and dy.max() <= 0.5 + 1e-5
+
+
+def test_auto_layout_staged_matches_plain_jit():
+    """_AutoLayoutExec (serving/predictor.py): AOT executables with
+    XLA-chosen input layouts produce the same masks as the plain jit path,
+    stage() round-trips host and device arrays, per-shape executables are
+    cached, and an unsupported backend degrades to the jit path instead of
+    failing (MTG_AUTO_LAYOUT=0 forces that branch)."""
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.serving.predictor import SegPredictor
+
+    h, w = 64, 48
+    model = create_model("lraspp_mobilenet_v3_large", compute_dtype="float32")
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+    )(jax.random.key(0))
+    kw = dict(use_pallas=False, dtype=jnp.float32)
+    plain = SegPredictor(
+        variables["params"], variables["batch_stats"], h, w,
+        auto_layout=False, **kw,
+    )
+    auto = SegPredictor(
+        variables["params"], variables["batch_stats"], h, w, **kw
+    )
+    assert plain._auto is None and auto._auto is not None
+
+    rng = np.random.default_rng(4)
+    imgs_np = rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)
+    m_plain = np.asarray(plain.predict(imgs_np))
+
+    # host input, device input, and pre-staged input all agree
+    np.testing.assert_array_equal(np.asarray(auto.predict(imgs_np)), m_plain)
+    np.testing.assert_array_equal(
+        np.asarray(auto.predict(jnp.asarray(imgs_np))), m_plain
+    )
+    staged = auto.stage(imgs_np)
+    np.testing.assert_array_equal(np.asarray(auto.predict(staged)), m_plain)
+    # staging an already-staged array is idempotent (no copy storm)
+    restaged = auto.stage(staged)
+    np.testing.assert_array_equal(np.asarray(restaged), np.asarray(staged))
+
+    if auto._auto.enabled:  # backend supports layouts: cache has one entry
+        assert len(auto._auto._cache) == 1
+        # a second batch shape compiles its own executable
+        imgs2 = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(auto.predict(imgs2)),
+            np.asarray(plain.predict(imgs2)),
+        )
+        assert len(auto._auto._cache) == 2
+
+    # env kill-switch: the exec reports disabled and predict still works
+    os.environ["MTG_AUTO_LAYOUT"] = "0"
+    try:
+        off = SegPredictor(
+            variables["params"], variables["batch_stats"], h, w, **kw
+        )
+        assert off._auto is not None and not off._auto.enabled
+        np.testing.assert_array_equal(np.asarray(off.predict(imgs_np)), m_plain)
+    finally:
+        del os.environ["MTG_AUTO_LAYOUT"]
+
+
+def test_auto_layout_pose_predictors():
+    """The corner predictors ride the same staged path: auto-layout output
+    == plain output for both families (two leading param trees)."""
+    from mtg_card_image_segmentation_tpu.models import create_model
+    from mtg_card_image_segmentation_tpu.serving import (
+        PosePredictor,
+        YoloCornerPredictor,
+    )
+
+    h, w, hm = 64, 96, (16, 24)
+    model = create_model(
+        "hrnet_pose", heatmap_height=hm[0], heatmap_width=hm[1],
+        compute_dtype="float32",
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, h, w, 3)), train=False)
+    )(jax.random.key(0))
+    kw = dict(heatmap_hw=hm, dtype=jnp.float32, use_pallas=False)
+    imgs = np.random.default_rng(6).integers(0, 256, (2, h, w, 3), np.uint8)
+    base = PosePredictor(
+        variables["params"], variables["batch_stats"], h, w,
+        auto_layout=False, **kw,
+    )
+    auto = PosePredictor(
+        variables["params"], variables["batch_stats"], h, w, **kw
+    )
+    for a, b in zip(auto.predict(imgs), base.predict(imgs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s = 64
+    ymodel = create_model("yolo12n_pose", compute_dtype="float32")
+    yvars = jax.jit(
+        lambda k: ymodel.init(k, jnp.zeros((1, s, s, 3)), train=False)
+    )(jax.random.key(0))
+    yimgs = np.random.default_rng(7).integers(0, 256, (2, s, s, 3), np.uint8)
+    ybase = YoloCornerPredictor(
+        yvars["params"], yvars["batch_stats"], imgsz=s, dtype=jnp.float32,
+        auto_layout=False,
+    )
+    yauto = YoloCornerPredictor(
+        yvars["params"], yvars["batch_stats"], imgsz=s, dtype=jnp.float32
+    )
+    for a, b in zip(yauto.predict(yimgs), ybase.predict(yimgs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

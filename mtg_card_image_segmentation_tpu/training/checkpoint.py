@@ -141,7 +141,17 @@ def _restore_numpy_subtree(path: str, keys: Tuple[str, ...]) -> Dict[str, Any]:
     load in CPU tools). Subtrees not named (e.g. opt_state, 2x the params
     bytes for Adam) are never read from disk."""
     ckptr = ocp.PyTreeCheckpointer()
-    meta_tree = ckptr.metadata(path).item_metadata.tree
+    meta = ckptr.metadata(path).item_metadata
+    if meta is None:
+        # orbax returns a metadata-less result (instead of raising) when the
+        # directory is absent or holds no PyTree payload — e.g. a checkpoint
+        # whose binaries are gitignored and only the .meta.json survives.
+        raise FileNotFoundError(
+            f"no orbax checkpoint at {path!r} (directory missing or empty — "
+            "checkpoint binaries are not tracked in git; re-run training or "
+            "point --checkpoint at a real run)"
+        )
+    meta_tree = meta.tree
     want = {k: meta_tree[k] for k in keys}
     return ckptr.restore(
         path,

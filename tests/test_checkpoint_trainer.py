@@ -53,6 +53,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt_lib.latest_checkpoint_name(str(tmp_path)) == "best_model"
     assert ckpt_lib.latest_checkpoint_name(str(tmp_path / "nope")) is None
 
+    # template-free read (the serving/eval/export consumer path)
+    params, batch_stats, meta2 = ckpt_lib.load_params(str(tmp_path), "best_model")
+    assert tree_dist(params, state.params) == 0.0
+    assert meta2["epoch"] == 7
+
+
+def test_load_params_missing_checkpoint_is_clear(tmp_path):
+    """A meta.json-only directory (checkpoint binaries are gitignored across
+    rounds) must fail with a FileNotFoundError naming the path — orbax's raw
+    AttributeError('NoneType' ... .tree) cost a debugging session."""
+    (tmp_path / "gone.meta.json").write_text("{}")
+    with pytest.raises(FileNotFoundError, match="no orbax checkpoint"):
+        ckpt_lib.load_params(str(tmp_path), "gone")
+
 
 @pytest.mark.slow
 def test_seg_trainer_epoch_loop(tmp_path, mesh8):

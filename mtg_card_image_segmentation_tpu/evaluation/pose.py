@@ -17,7 +17,10 @@ from typing import Dict, Iterable, List, Optional, Sequence
 import jax
 import numpy as np
 
-from mtg_card_image_segmentation_tpu.evaluation.worstk import merge_worst_k
+from mtg_card_image_segmentation_tpu.evaluation.worstk import (
+    fresh_failures_dir,
+    merge_worst_k,
+)
 from mtg_card_image_segmentation_tpu.ops import heatmap as hm_lib
 
 CORNER_NAMES = ("top_left", "top_right", "bottom_right", "bottom_left")
@@ -46,7 +49,10 @@ class PoseEvaluator:
             @jax.jit
             def predict_step(variables, images):
                 heatmaps = apply_fn(variables, images, train=False)
-                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
+                # independent sub-pixel decode, with a per-image
+                # plausibility-gated fallback to the joint-NMS assignment
+                # (kills the corner-identity tail without costing the mean)
+                coords01, conf = hm_lib.decode_argmax_subpixel_gated(heatmaps)
                 px = hm_lib.coords01_to_pixels(coords01, image_hw)
                 return px, conf
 
@@ -144,12 +150,13 @@ class PoseEvaluator:
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
+            # wiped every run: stale worst-k panels from a previous decode
+            # must not sit next to the regenerated ones
+            fdir = fresh_failures_dir(output_dir)
             if worst:
                 # viewable GT-vs-pred corner panels for the worst cases —
                 # the pose analog of the seg failure images
                 # (train/evaluate.py:240-295)
-                fdir = os.path.join(output_dir, "failures")
-                os.makedirs(fdir, exist_ok=True)
                 for rank, (e, idx, img, gt, pred) in enumerate(worst):
                     path = os.path.join(fdir, f"worst_{rank:02d}_err{e:.1f}px.png")
                     self._plot_corner_panel(img, gt, pred, e, path)

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from mtg_card_image_segmentation_tpu import metrics as metrics_lib
-from mtg_card_image_segmentation_tpu.evaluation.worstk import merge_worst_k
+from mtg_card_image_segmentation_tpu.evaluation.worstk import (
+    fresh_failures_dir,
+    merge_worst_k,
+)
 from mtg_card_image_segmentation_tpu.utils import plots as plots_lib
 
 
@@ -178,11 +181,12 @@ class SegEvaluator:
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
+            # wiped every run: stale panels from a previous decode must not
+            # sit next to the regenerated ones
+            fdir = fresh_failures_dir(output_dir)
             if failure_arrays or worst:
                 # image/GT/pred/confidence panel per mined failure and per
                 # worst-k case (train/evaluate.py:240-295)
-                fdir = os.path.join(output_dir, "failures")
-                os.makedirs(fdir, exist_ok=True)
                 for rank, (img, msk, prd, cnf, iou) in enumerate(failure_arrays):
                     path = plots_lib.plot_predictions(
                         img[None], msk[None], prd[None],

@@ -43,3 +43,20 @@ def merge_worst_k(
         else:
             break
         buffer.sort(key=lambda t: t[0], reverse=reverse)
+
+
+def fresh_failures_dir(output_dir: str) -> str:
+    """Create (or wipe) ``output_dir``/failures and return its path.
+
+    Evaluators regenerate their panels on every run; without clearing,
+    re-evaluating into the same run dir accretes stale worst-k panels next
+    to current ones — the exact artifacts a human inspects. Only the
+    evaluator writes here, so wiping the directory is safe.
+    """
+    import os
+    import shutil
+
+    fdir = os.path.join(output_dir, "failures")
+    shutil.rmtree(fdir, ignore_errors=True)
+    os.makedirs(fdir, exist_ok=True)
+    return fdir

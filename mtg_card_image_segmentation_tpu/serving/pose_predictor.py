@@ -74,10 +74,11 @@ class PosePredictor:
             heatmaps = model.apply(
                 {"params": params, "batch_stats": stats}, x, train=False
             )
-            # refine=True: quadratic sub-pixel fit;
+            # refine=True: quadratic sub-pixel fit with plausibility-gated
+            # joint-NMS fallback (corner-identity repair);
             # False: reference integer argmax
             if refine:
-                coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
+                coords01, conf = hm_lib.decode_argmax_subpixel_gated(heatmaps)
             else:
                 coords01, conf = hm_lib.decode_argmax(heatmaps)
             px = hm_lib.coords01_to_pixels(coords01, (height, width))

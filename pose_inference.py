@@ -98,9 +98,9 @@ def main() -> None:
             inference_test.py:167-169), forward, peak-extract."""
             x = bilinear_resize(images01, h, w)
             heatmaps = model.apply(variables, x, train=False)
-            # sub-pixel decode — same as eval/serving and the exported
-            # model's documented recipe
-            coords01, conf = hm_lib.decode_argmax_subpixel(heatmaps)
+            # sub-pixel decode with gated joint-NMS fallback — same as
+            # eval/serving and the exported model's documented recipe
+            coords01, conf = hm_lib.decode_argmax_subpixel_gated(heatmaps)
             return coords01, conf, heatmaps
 
     samples = []  # (name, (H0, W0, 3) float01 numpy)

@@ -240,3 +240,62 @@ def test_corner_evaluator_yolo_decode(tmp_path):
     assert report["accuracy_3px"] == 100.0
     assert report["detection_rate"] == 1.0
     assert (tmp_path / "pose_evaluation.json").is_file()
+
+
+def test_evaluators_clear_stale_failure_panels(tmp_path):
+    """Re-evaluating into the same run dir must leave ONLY the files the
+    current run wrote — stale worst-k panels from a previous decode were
+    observed accreting next to regenerated ones (VERDICT r3 weak #3)."""
+
+    class BadModel:
+        def apply(self, variables, images, train=False):
+            b = jnp.ones(images.shape[:-1])
+            return jnp.stack([b, -b], axis=-1)
+
+    rng = np.random.default_rng(7)
+    images = rng.uniform(0, 1, (3, 8, 8, 3)).astype(np.float32)
+    masks = np.ones((3, 8, 8), np.int32)
+    stale = tmp_path / "failures" / "worst_00_err430.5px.png"
+    stale.parent.mkdir(parents=True)
+    stale.write_bytes(b"stale panel from a previous decode")
+
+    ev = SegEvaluator(BadModel().apply, {}, 2)
+    ev.evaluate(
+        [(jnp.asarray(images), jnp.asarray(masks))], output_dir=str(tmp_path)
+    )
+    first = sorted(p.name for p in (tmp_path / "failures").iterdir())
+    assert "worst_00_err430.5px.png" not in first
+    # second run into the same dir: identical file set, no orphans
+    ev.evaluate(
+        [(jnp.asarray(images), jnp.asarray(masks))], output_dir=str(tmp_path)
+    )
+    second = sorted(p.name for p in (tmp_path / "failures").iterdir())
+    assert second == first
+
+
+def test_pose_evaluator_clears_stale_panels(tmp_path):
+    """Same regeneration contract for the pose evaluator."""
+    import mtg_card_image_segmentation_tpu.ops.heatmap as hm
+
+    centers = jnp.asarray(
+        [[[2.0, 2.0], [12.0, 2.5], [12.5, 9.0], [2.5, 9.5]]] * 2
+    )
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 12, 16, 1.5))(centers)
+
+    def apply_fn(variables, images, train=False):
+        return targets
+
+    stale = tmp_path / "failures" / "worst_00_err430.5px.png"
+    stale.parent.mkdir(parents=True)
+    stale.write_bytes(b"stale")
+    ev = PoseEvaluator(apply_fn, {}, (48, 64))
+    px = np.asarray(hm.coords01_to_pixels(
+        hm.decode_argmax_subpixel_gated(targets)[0], (48, 64)
+    ))
+    ev.evaluate(
+        [(jnp.zeros((2, 48, 64, 3)), jnp.asarray(px))],
+        output_dir=str(tmp_path), worst_k=2,
+    )
+    names = sorted(p.name for p in (tmp_path / "failures").iterdir())
+    assert "worst_00_err430.5px.png" not in names
+    assert all(n.startswith("worst_") for n in names)

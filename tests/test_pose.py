@@ -246,3 +246,66 @@ def test_augment_flip_reorders_corners():
     np.testing.assert_allclose(k[1], [27.0, 4.0], atol=1e-4)
     np.testing.assert_allclose(k[2], [27.0, 27.0], atol=1e-4)
     np.testing.assert_allclose(k[3], [4.0, 27.0], atol=1e-4)
+
+
+def test_quad_plausible_cases():
+    """Rotation-invariant sanity gate: ordered convex quads pass (any
+    rotation); coincident corners, non-cyclic identity swaps, and
+    degenerate areas fail."""
+    good = np.array([[6.0, 4.0], [40.0, 6.0], [42.0, 26.0], [7.0, 25.0]],
+                    np.float32)
+    # rotate the good quad by 40 degrees about its centroid
+    th = np.deg2rad(40.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                   np.float32)
+    ctr = good.mean(0)
+    rotated = (good - ctr) @ rot.T + ctr
+    swapped = good[[2, 1, 0, 3]]  # TL<->BR identity swap: self-intersects
+    coincident = good.copy()
+    coincident[0] = good[3] + 0.5  # TL decoded onto BL
+    tiny = np.stack([ctr + 0.1 * (g - ctr) for g in good])  # collapsed area
+    quads = jnp.asarray(np.stack([good, rotated, swapped, coincident, tiny]))
+    ok = np.asarray(hm.quad_plausible(quads))
+    assert ok.tolist() == [True, True, False, False, False]
+
+
+def test_gated_decode_identical_on_clean_heatmaps():
+    """When the independent decode is plausible the gated decode must be
+    bit-identical to it — the gate must not perturb the 0.95 px mean."""
+    centers = jnp.asarray([[[5.3, 3.7], [40.2, 6.1], [41.6, 25.4], [6.0, 24.0]],
+                           [[10.0, 8.0], [35.0, 9.0], [36.0, 22.0], [11.0, 21.0]]])
+    targets = jax.vmap(lambda c: hm.gaussian_heatmaps(c, 32, 48, 2.0))(centers)
+    cg, vg = hm.decode_argmax_subpixel_gated(targets)
+    cs, vs = hm.decode_argmax_subpixel(targets)
+    np.testing.assert_array_equal(np.asarray(cg), np.asarray(cs))
+    np.testing.assert_array_equal(np.asarray(vg), np.asarray(vs))
+
+
+def test_gated_decode_repairs_identity_confusion():
+    """The observed HRNet tail failure (one corner channel dominated by
+    another corner's location) must route through the joint fallback and
+    land near the true corners, while an adjacent clean image in the same
+    batch keeps its exact independent decode."""
+    true = np.array([[6.0, 4.0], [40.0, 6.0], [42.0, 26.0], [7.0, 25.0]],
+                    np.float32)
+    hms = []
+    for ch in range(4):
+        g = np.asarray(hm.gaussian_heatmaps(
+            jnp.asarray(true[ch:ch + 1]), 32, 48, 1.5))[..., 0]
+        hms.append(g)
+    false_peak = np.asarray(hm.gaussian_heatmaps(
+        jnp.asarray(true[3:4]), 32, 48, 1.5))[..., 0]
+    hms[0] = 0.6 * hms[0] + 0.9 * false_peak  # TL channel peaks on BL
+    broken = np.stack(hms, axis=-1)
+    clean = np.asarray(jax.vmap(
+        lambda c: hm.gaussian_heatmaps(c, 32, 48, 1.5)
+    )(jnp.asarray(true)[None]))[0]
+    heat = jnp.asarray(np.stack([broken, clean]))  # (2, 32, 48, 4)
+
+    cg, _ = hm.decode_argmax_subpixel_gated(heat)
+    px = np.asarray(hm.coords01_to_pixels(cg, (32, 48)))
+    np.testing.assert_allclose(px[0], true, atol=0.5)  # repaired
+    ci, _ = hm.decode_argmax_subpixel(heat)
+    pxi = np.asarray(hm.coords01_to_pixels(ci, (32, 48)))
+    assert np.abs(pxi[0, 0] - true[0]).max() > 10.0  # guard: it WAS broken
+    np.testing.assert_array_equal(px[1], pxi[1])  # clean image untouched

@@ -237,7 +237,11 @@ class TestPosePredictor:
 
         _, _, pred_r, _ = self._build(refine=True)
         px_r, _ = pred_r.predict(jnp.asarray(imgs))
-        coords01_r, _ = hm_lib.decode_argmax_subpixel(heatmaps)
+        # refine=True is the gated decode (sub-pixel + plausibility-gated
+        # joint-NMS fallback — untrained-model heatmaps routinely fail the
+        # quad sanity gate, so matching the plain sub-pixel decode here
+        # would be wrong)
+        coords01_r, _ = hm_lib.decode_argmax_subpixel_gated(heatmaps)
         ref_px_r = hm_lib.coords01_to_pixels(coords01_r, (h, w))
         np.testing.assert_allclose(np.asarray(px_r), np.asarray(ref_px_r),
                                    rtol=1e-4, atol=1e-2)

@@ -30,7 +30,7 @@ blocks — the in-kernel VPU stencil costs more than the saved HBM traffic
 convs. See serving/predictor.py:74-80 for the measured serving policy.
 
 Tried and rejected (don't re-try): replacing the shift/concat stencil with
-static slices of a zero-padded f32 VMEM scratch. An isolated microbench
+static slices of a zero-padded **f32** VMEM scratch. An isolated microbench
 fenced with block_until_ready() showed blk13 4.36 -> 0.54 ms, but
 block_until_ready reports EARLY through the axon relay (bench.py's warning
 applies to kernels too — always fence with a host materialization);
@@ -39,6 +39,17 @@ variant is SLOWER in context (pallas blocks 9.7 ms vs 8.4, e2e 25.8 vs
 24.4 ms @512x512 b128): the f32 scratch halves images-per-step (VMEM) and
 the zero-fill + staging store add VPU work that the saved per-term
 converts don't pay back.
+
+Round 4 revisits that result with a **bf16** padded scratch
+(``stencil="scratch"``): the expand matmul writes straight into the
+interior of a zero-border (bt, H+2p, W+2p, Cexp) bf16 scratch, and each of
+the k^2 taps becomes a static-offset slice load fused into the FMA — no
+concat materializations at all (the concat path moves the full expanded
+tensor ~2 times per tap). bf16 keeps the footprint close to the unpadded
+activation (so images-per-step does NOT halve, unlike the f32 attempt),
+and at dilation 2 every slice offset is even, matching the bf16 sublane
+packing granularity of 2. Stride-1 blocks only (the serving tail is all
+stride 1); stride-2 keeps the concat path.
 """
 
 from __future__ import annotations
@@ -100,13 +111,15 @@ def _act(x: jax.Array, name: Optional[str]) -> jax.Array:
 
 def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
                  has_expand: bool, has_se: bool, residual: bool,
-                 dilation: int = 1):
+                 dilation: int = 1, use_scratch: bool = False,
+                 acc_dtype: str = "float32"):
     offsets = [
         (dy * dilation, dx * dilation)
         for dy in range(-(k - 1) // 2, (k - 1) // 2 + 1)
         for dx in range(-(k - 1) // 2, (k - 1) // 2 + 1)
     ]
     # torch pad=(k-1)//2*dilation keeps H/W: the shifts cover it exactly
+    pad = (k - 1) // 2 * dilation
 
     def kernel(*refs):
         i = 0
@@ -117,7 +130,8 @@ def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
         if has_se:
             w1_ref, b1_ref, w2_ref, b2_ref = refs[i : i + 4]; i += 4
         w_proj_ref, b_proj_ref = refs[i], refs[i + 1]; i += 2
-        out_ref = refs[i]
+        out_ref = refs[i]; i += 1
+        pad_ref = refs[i] if use_scratch else None
 
         # expanded path runs in bf16 to fit VMEM (whole-image residency);
         # matmuls still accumulate fp32 on the MXU. ``bt`` images per grid
@@ -138,10 +152,43 @@ def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
 
         # depthwise kxk stencil at full resolution (bf16 terms, fp32 acc)
         acc = None
-        for idx, (dy, dx) in enumerate(offsets):
-            term = _shift2d(y, dy, dx) * w_dw_ref[idx][None, None, None, :].astype(jnp.bfloat16)
-            term = term.astype(jnp.float32)
-            acc = term if acc is None else acc + term
+        if use_scratch:
+            # stage y into the interior of the zero-border padded scratch;
+            # every tap then reads a static-offset slice (fused load+FMA,
+            # no concat materializations). Borders are zeroed each grid
+            # step (fresh images), interior is fully overwritten.
+            zrow = jnp.zeros((bt, pad, w + 2 * pad, y.shape[-1]), jnp.bfloat16)
+            zcol = jnp.zeros((bt, h, pad, y.shape[-1]), jnp.bfloat16)
+            pad_ref[:, :pad, :, :] = zrow
+            pad_ref[:, h + pad:, :, :] = zrow
+            pad_ref[:, pad:h + pad, :pad, :] = zcol
+            pad_ref[:, pad:h + pad, w + pad:, :] = zcol
+            pad_ref[:, pad:h + pad, pad:w + pad, :] = y
+            for idx, (dy, dx) in enumerate(offsets):
+                oy, ox = dy + pad, dx + pad  # slice starts in the padded map
+                term = (
+                    pad_ref[:, oy:oy + h, ox:ox + w, :]
+                    * w_dw_ref[idx][None, None, None, :].astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                acc = term if acc is None else acc + term
+        else:
+            # hierarchical shifts, COLUMN-major: a W-axis shift crosses the
+            # sublane tiling (expensive realignment copy) while an H-axis
+            # shift is a plain address-offset copy — so shift columns ONCE
+            # per dx (k copies total, not k^2) and reuse across the k cheap
+            # row offsets. Same zero-fill semantics as the combined shift.
+            ks = range(-(k - 1) // 2, (k - 1) // 2 + 1)
+            for ix, dx in enumerate(ks):
+                yc = _shift2d(y, 0, dx * dilation) if dx else y
+                for iy, dy in enumerate(ks):
+                    xs_ = _shift2d(yc, dy * dilation, 0) if dy else yc
+                    term = xs_ * w_dw_ref[iy * k + ix][
+                        None, None, None, :
+                    ].astype(jnp.bfloat16)
+                    if acc_dtype == "float32":
+                        term = term.astype(jnp.float32)
+                    acc = term if acc is None else acc + term
+            acc = acc.astype(jnp.float32)
         if stride == 2:
             # Mosaic supports neither [::2] gathers nor strided slices;
             # decimate via reshape + iota-masked sum (constants can't be
@@ -181,7 +228,8 @@ def _make_kernel(bt: int, h: int, w: int, k: int, stride: int, act: str,
 
 
 def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
-                          cout: int, stride: int = 1, itemsize: int = 2) -> int:
+                          cout: int, stride: int = 1, itemsize: int = 2,
+                          pad: int = 0) -> int:
     """Largest divisor of ``b`` (<= 16) whose VMEM working set fits and
     whose flattened sublane count bt*h*w is a multiple of 8. Fewer grid
     steps = less per-step overhead; the expanded map + fp32 stencil
@@ -210,12 +258,25 @@ def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
             continue
         if (bt * h * w) % 8 != 0:
             continue
-        bytes_needed = bt * h * w * (
-            2 * cexp  # expanded bf16
-            + 4 * cexp  # fp32 stencil accumulator
-            + 2 * cexp  # shifted term temp
-            + 2 * cin + 4 * cout  # input + output (in-register)
-        ) + bt * 2 * (  # double-buffered DMA windows, lane-padded
+        if pad:
+            # scratch mode: bf16 padded scratch replaces the expanded
+            # activation + per-tap shifted temp (taps are slice loads)
+            bytes_needed = bt * (
+                (h + 2 * pad) * (w + 2 * pad) * 2 * cexp  # padded scratch
+                + h * w * (
+                    2 * cexp  # expand-matmul output staged into scratch
+                    + 4 * cexp  # fp32 stencil accumulator
+                    + 2 * cin + 4 * cout  # input + output (in-register)
+                )
+            )
+        else:
+            bytes_needed = bt * h * w * (
+                2 * cexp  # expanded bf16
+                + 4 * cexp  # fp32 stencil accumulator
+                + 2 * cexp  # shifted term temp
+                + 2 * cin + 4 * cout  # input + output (in-register)
+            )
+        bytes_needed += bt * 2 * (  # double-buffered DMA windows, lane-padded
             h * w * lanes(cin) + oh * ow * lanes(cout)
         ) * itemsize
         if bytes_needed <= budget:
@@ -227,7 +288,7 @@ def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
     jax.jit,
     static_argnames=(
         "kernel_size", "stride", "act", "residual", "dilation", "interpret",
-        "images_per_step",
+        "images_per_step", "stencil",
     ),
 )
 def fused_inverted_residual(
@@ -240,6 +301,7 @@ def fused_inverted_residual(
     dilation: int = 1,
     interpret: bool = False,
     images_per_step: Optional[int] = None,
+    stencil: str = "auto",
 ) -> jax.Array:
     """Run one folded inverted-residual block as a single fused kernel.
 
@@ -259,8 +321,25 @@ def fused_inverted_residual(
     cexp = params["depthwise"]["conv"]["kernel"].shape[-1]
     cout = params["project"]["conv"]["kernel"].shape[-1]
     oh, ow = h // stride, w // stride
+    if stencil == "auto":
+        # MTG_FUSED_STENCIL=concat|scratch overrides for on-chip A/B runs.
+        # Default stays on the hardware-validated concat path until the
+        # scratch path's Mosaic lowering is measured on the real chip
+        # (interpret-mode correctness is already gated in tests).
+        import os
+
+        env = os.environ.get("MTG_FUSED_STENCIL")
+        stencil = env if env in ("scratch", "concat") else "concat"
+        if stride != 1:
+            stencil = "concat"
+    if stencil not in ("scratch", "concat"):
+        raise ValueError(f"unknown stencil mode {stencil!r}")
+    if stencil == "scratch" and stride != 1:
+        raise ValueError("scratch stencil supports stride 1 only")
+    pad = (kernel_size - 1) // 2 * dilation if stencil == "scratch" else 0
     bt = images_per_step or _pick_images_per_step(
-        b, h, w, cin, cexp, cout, stride=stride, itemsize=x.dtype.itemsize
+        b, h, w, cin, cexp, cout, stride=stride, itemsize=x.dtype.itemsize,
+        pad=pad,
     )
     if bt == 0 or b % bt != 0 or (bt * h * w) % 8 != 0:
         raise ValueError(
@@ -293,8 +372,21 @@ def fused_inverted_residual(
     add_mat(params["project"]["conv"]["bias"])
 
     use_residual = residual and stride == 1 and cin == cout
+    # MTG_DW_ACC=bfloat16 accumulates the stencil in bf16 with ONE final
+    # convert (A/B lever: ~25 per-term converts + f32 adds are the largest
+    # VPU cost in the tail blocks); default fp32 accumulation.
+    import os as _os
+
+    acc_dtype = _os.environ.get("MTG_DW_ACC", "float32")
     kernel = _make_kernel(bt, h, w, kernel_size, stride, act, has_expand,
-                          has_se, use_residual, dilation)
+                          has_se, use_residual, dilation,
+                          use_scratch=(stencil == "scratch"),
+                          acc_dtype=acc_dtype)
+    scratch_shapes = []
+    if stencil == "scratch":
+        scratch_shapes.append(
+            pltpu.VMEM((bt, h + 2 * pad, w + 2 * pad, cexp), jnp.bfloat16)
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), x.dtype),
@@ -303,6 +395,7 @@ def fused_inverted_residual(
         out_specs=pl.BlockSpec(
             (bt, oh, ow, cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch_shapes,
         # whole-image VMEM residency needs headroom beyond the default 16MB
         # scoped limit (v5e has 128MB of physical VMEM... scoped stack only);
         # raise the cap for this kernel

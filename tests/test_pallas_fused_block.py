@@ -56,3 +56,61 @@ def test_fused_block_matches_module(cin, exp, cout, k, stride, se, act, residual
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)  # bf16 expanded path
+
+
+@pytest.mark.parametrize("stencil", ["concat", "scratch"])
+def test_fused_block_stencil_modes_agree(stencil):
+    """Both stencil implementations (shift/concat materialization vs the
+    zero-padded bf16 scratch with static-slice taps) must match the Flax
+    module on a stride-1 SE block."""
+    x, folded, ref = _folded_block(40, 120, 40, 5, 1, True, "relu")
+    out = np.asarray(
+        fused_inverted_residual(
+            x, folded, kernel_size=5, stride=1, act="relu",
+            residual=True, interpret=True, stencil=stencil,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def _folded_dilated_block(cin, exp, cout, k, se, act, dilation, seed=0,
+                          h=16, w=16):
+    """Folded dilated tail block (the serving FUSED_BLOCKS shape class:
+    stride-1, dilation-2 k=5 SE hardswish)."""
+    module = InvertedResidual(
+        expanded=exp, out_features=cout, kernel=k, stride=1,
+        dilation=dilation, use_se=se, act=act, dtype=jnp.float32,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((2, h, w, cin)),
+        jnp.float32,
+    )
+    variables = module.init(jax.random.key(seed), x, train=False)
+    _, mutated = module.apply(
+        variables, x * 1.5 + 0.2, train=True, mutable=["batch_stats"]
+    )
+    folded = fold_batch_norm(variables["params"], mutated["batch_stats"])
+    folded_module = InvertedResidual(
+        expanded=exp, out_features=cout, kernel=k, stride=1,
+        dilation=dilation, use_se=se, act=act, dtype=jnp.float32,
+        fold_bn=True,
+    )
+    ref = folded_module.apply({"params": folded}, x, train=False)
+    return x, folded, np.asarray(ref)
+
+
+@pytest.mark.parametrize("stencil", ["concat", "scratch"])
+def test_fused_block_dilated_tail(stencil):
+    """The dilation-2 k=5 tail shape (serving FUSED_BLOCKS 12-14) through
+    both stencils. At dilation 2 every scratch slice offset is even —
+    the sublane-packing-aligned case the scratch path is built for."""
+    x, folded, ref = _folded_dilated_block(
+        24, 72, 24, 5, True, "hardswish", dilation=2
+    )
+    out = np.asarray(
+        fused_inverted_residual(
+            x, folded, kernel_size=5, stride=1, act="hardswish",
+            residual=True, dilation=2, interpret=True, stencil=stencil,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)

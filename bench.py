@@ -34,6 +34,85 @@ def _time_fn(fn, args, iters: int, warmup: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def bench_train(args) -> None:
+    """Train-step benchmark: the jitted seg train step (forward + loss +
+    backward + optimizer + metric stats, donated buffers) at the reference
+    operating point (320x240 b32, train/README.md:275's training budget)
+    and at the 512^2 serving resolution. Reports step/s, img/s and achieved
+    TFLOP/s (XLA cost analysis / measured step time) vs the chip's measured
+    ~174 TFLOP/s bf16 peak. Random-init params + random batches: throughput
+    is shape-dependent, not weight-dependent, so the number is reproducible
+    without a checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtg_card_image_segmentation_tpu.config import default_config
+    from mtg_card_image_segmentation_tpu.models import registry
+    from mtg_card_image_segmentation_tpu.training import (
+        create_optimizer,
+        make_train_step,
+    )
+    from mtg_card_image_segmentation_tpu.training.state import create_seg_state
+
+    cfg = default_config()
+    points = [
+        ("ref_320x240", cfg.model.input_height, cfg.model.input_width, 32),
+        (f"{args.size}x{args.size}", args.size, args.size, 32),
+    ]
+    results = []
+    for name, h, w, batch in points:
+        model = registry.from_config(cfg.model)
+        tx, _ = create_optimizer(cfg.optimizer, cfg.train.num_epochs, 100)
+        state = jax.jit(
+            lambda k: create_seg_state(model, tx, (1, h, w, 3), k)
+        )(jax.random.key(0))
+        step = make_train_step(
+            dice_weight=cfg.train.dice_weight, ce_weight=cfg.train.ce_weight,
+            num_classes=cfg.model.num_classes, donate=True,
+        )
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((batch, h, w, 3)), jnp.float32)
+        masks = jnp.asarray(rng.integers(0, 2, (batch, h, w)), jnp.int32)
+
+        flops = None
+        try:
+            cost = step.lower(state, images, masks).compile().cost_analysis()
+            if cost:
+                flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
+
+        # warmup (compile) + honest fence (bench._time_fn rationale)
+        for _ in range(3):
+            state, stats = step(state, images, masks)
+        _ = np.asarray(jax.jit(jnp.sum)(stats["loss"]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, stats = step(state, images, masks)
+        _ = np.asarray(jax.jit(jnp.sum)(stats["loss"]))
+        dt = (time.perf_counter() - t0) / args.iters
+
+        entry = {
+            "metric": f"seg_train_step_{name}_b{batch}",
+            "value": round(1.0 / dt, 2),
+            "unit": "steps/sec/chip",
+            "img_per_sec": round(batch / dt, 1),
+            "step_ms": round(dt * 1e3, 2),
+        }
+        if flops:
+            entry["achieved_tflops"] = round(flops / dt / 1e12, 1)
+            entry["vs_peak_174_tflops"] = round(flops / dt / 174e12, 3)
+        results.append(entry)
+        if args.verbose:
+            print(f"# {name} b{batch}: {dt * 1e3:.2f} ms/step -> "
+                  f"{batch / dt:.0f} img/s"
+                  + (f", {entry['achieved_tflops']} TFLOP/s" if flops else ""))
+        # donated-state hygiene: drop everything before the next point
+        del state, stats
+    for entry in results:
+        print(json.dumps(entry))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=512)
@@ -56,6 +135,10 @@ def main() -> None:
                         help="reference-shaped XLA path, no Pallas kernels "
                              "(the TPU fast path needs a TPU; this enables "
                              "CPU smoke runs)")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the jitted seg TRAIN step instead "
+                             "of inference (320x240 b32 reference point + "
+                             "--size^2); no checkpoint needed")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a TensorBoard-loadable jax.profiler "
                              "trace of the timed loop into DIR")
@@ -66,6 +149,9 @@ def main() -> None:
 
     apply_platform_env()  # make JAX_PLATFORMS=cpu binding (sitecustomize
     # registers the TPU plugin in every process; env alone is not enough)
+    if args.train:
+        bench_train(args)
+        return
     from mtg_card_image_segmentation_tpu.models import create_model
     from mtg_card_image_segmentation_tpu.serving import SegPredictor
 

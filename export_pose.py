@@ -3,10 +3,12 @@
 (reference: python train-pose-estimation_custom/export_onnx.py).
 
 Creates a deployment package from a trained pose checkpoint:
-  pose.onnx        fp32 ONNX graph (BN folded), opset 19
-  pose_fp16.onnx   fp16 weights, fp32 I/O (auto-mixed-precision analog)
-  pose_int8.onnx   QDQ per-channel int8 weights (~4x smaller download)
-  pose_info.json   IO contract + parity results
+  pose.onnx          fp32 ONNX graph (BN folded), opset 19
+  pose_fp16.onnx     fp16 weights, fp32 I/O (auto-mixed-precision analog)
+  pose_int8.onnx     QDQ per-channel int8 weights (~4x smaller download)
+  pose_dynamic.onnx  fp32 with a symbolic batch axis (gated at b1 AND b4)
+  pose.stablehlo     jax.export StableHLO + .json sidecar (<1e-5 self-test)
+  pose_info.json     IO contract + parity results
 
 Parity gates: fp32 max|diff| < 1e-4; fp16 at the reference's
 auto_convert_mixed_precision tolerance rtol 0.01 / atol 0.001
@@ -30,6 +32,12 @@ def main() -> None:
     parser.add_argument("--skip-verify", action="store_true")
     parser.add_argument("--info", action="store_true",
                         help="print checkpoint info and exit (export_onnx.py --info)")
+    parser.add_argument(
+        "--dynamic-batch", action=argparse.BooleanOptionalAction, default=True,
+        help="also emit pose_dynamic.onnx with a symbolic batch axis "
+        "(the reference exports dynamic batch by default, "
+        "export_onnx.py:74-95)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -108,6 +116,39 @@ def main() -> None:
     print(f"pose_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
 
+    dyn_path = None
+    if args.dynamic_batch:
+        dyn_model = export_pose_model(
+            folded, input_hw=(h, w), heatmap_hw=(hm_h, hm_w),
+            num_keypoints=k, opset=19, dynamic_batch=True,
+        )
+        optimize(dyn_model)
+        dyn_path = os.path.join(args.output_dir, "pose_dynamic.onnx")
+        dyn_model.save(dyn_path)
+        print(f"pose_dynamic.onnx ({os.path.getsize(dyn_path) / 1e6:.1f} MB, "
+              f"symbolic batch axis)")
+
+    # StableHLO second serialization format (reference packages TorchScript
+    # alongside ONNX, train/export.py:167-244)
+    from mtg_card_image_segmentation_tpu.export.stablehlo import export_stablehlo
+
+    def _nchw_fn(x_nchw):
+        xx = jnp.transpose(x_nchw, (0, 2, 3, 1))
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xx, train=False
+        )
+        return jnp.transpose(out, (0, 3, 1, 2))
+
+    shlo_path = os.path.join(args.output_dir, "pose.stablehlo")
+    with jax.default_matmul_precision("float32"):
+        shlo_info = export_stablehlo(
+            _nchw_fn, (jnp.zeros((1, 3, h, w), jnp.float32),), shlo_path,
+            platforms=("cpu", "tpu"),
+        )
+    print(f"pose.stablehlo ({shlo_info['bytes'] / 1e6:.1f} MB, self-test "
+          f"max|diff|={shlo_info['self_test_max_diff']:.2e} "
+          f"{'PASS' if shlo_info['self_test_pass'] else 'FAIL'})")
+
     parity = {}
     if not args.skip_verify:
         with jax.default_matmul_precision("float32"):
@@ -176,7 +217,37 @@ def main() -> None:
             "int8_max_abs_diff": d8, "int8_peak_shift_hm_px": shift8,
             "int8_pass": bool(ok8),
         }
-        if not (ok32 and ok16 and ok8):
+        okdyn = True
+        if dyn_path:
+            from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+            dyn_loaded = op.Model.load(dyn_path)
+            dyn_results = {}
+            with jax.default_matmul_precision("float32"):
+                for nb in (1, 4):
+                    xb = rng.random((nb, 3, h, w)).astype(np.float32)
+                    refb = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        jnp.asarray(np.transpose(xb, (0, 2, 3, 1))),
+                        train=False,
+                    )
+                    refb = np.transpose(np.asarray(refb), (0, 3, 1, 2))
+                    dmini = float(np.abs(np.asarray(
+                        make_runner(dyn_loaded)(jnp.asarray(xb))
+                    ) - refb).max())
+                    dtorch = float(np.abs(onnx_torch_runner.run_model(
+                        dyn_loaded, {"input": xb})["heatmaps"] - refb).max())
+                    okb = max(dmini, dtorch) < cfg.export.parity_atol_fp32
+                    okdyn = okdyn and okb
+                    dyn_results[f"batch{nb}"] = {
+                        "mini_max_abs_diff": dmini,
+                        "torch_runner_max_abs_diff": dtorch,
+                        "pass": bool(okb),
+                    }
+                    print(f"dynamic-batch parity b{nb}: mini={dmini:.2e} "
+                          f"torch={dtorch:.2e} {'PASS' if okb else 'FAIL'}")
+            parity["dynamic_batch"] = dyn_results
+        if not (ok32 and ok16 and ok8 and okdyn):
             raise SystemExit("parity gate FAILED")
         from export_seg import _independent_checks
 
@@ -196,6 +267,8 @@ def main() -> None:
         },
         "parameters": count_parameters(params),
         "opset": 19,
+        "stablehlo": shlo_info,
+        "dynamic_batch_artifact": os.path.basename(dyn_path) if dyn_path else None,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),
         "parity": parity,

@@ -33,10 +33,14 @@ MobileNetV3-Large, BatchNorm folded).
   1 = card, 0 = background
 
 ## Files
-- model.onnx        fp32
-- model_fp16.onnx   fp16 weights, fp32 I/O (use this in ONNX Runtime Web)
-- params.npz        flat state-dict (numpy)
-- model_info.json   details + parity verification results
+- model.onnx          fp32
+- model_fp16.onnx     fp16 weights, fp32 I/O (use this in ONNX Runtime Web)
+- model_int8.onnx     int8 QDQ weights
+- model_dynamic.onnx  fp32 with a symbolic batch axis (server batching)
+- model.stablehlo     jax.export StableHLO (+ .json sidecar) for any XLA
+                      runtime — load with jax.export.deserialize
+- params.npz          flat state-dict (numpy)
+- model_info.json     details + parity verification results
 
 See inference_example.py for a minimal consumer.
 """
@@ -98,6 +102,12 @@ def main() -> None:
     parser.add_argument("--output-dir", default="exported_models")
     parser.add_argument("--set", nargs="*", default=[], metavar="a.b=v")
     parser.add_argument("--skip-verify", action="store_true")
+    parser.add_argument(
+        "--dynamic-batch", action=argparse.BooleanOptionalAction, default=True,
+        help="also emit model_dynamic.onnx with a symbolic batch axis "
+        "(dim_param), parity-gated at batch 1 AND 4 (the reference's "
+        "dynamic_axes, train/export.py:68-79)",
+    )
     parser.add_argument(
         "--slim", action="store_true",
         help="physically remove dead (expansion-pruned) channels before "
@@ -204,6 +214,41 @@ def main() -> None:
     print(f"model_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
 
+    dyn_path = None
+    if args.dynamic_batch:
+        dyn_model = export_seg_model(
+            folded, input_hw=(h, w), num_classes=cfg.model.num_classes,
+            inter_channels=cfg.model.inter_channels, opset=cfg.export.opset,
+            dynamic_batch=True,
+        )
+        optimize(dyn_model)
+        dyn_path = os.path.join(args.output_dir, "model_dynamic.onnx")
+        dyn_model.save(dyn_path)
+        print(f"model_dynamic.onnx ({os.path.getsize(dyn_path) / 1e6:.1f} MB, "
+              f"symbolic batch axis)")
+
+    # StableHLO — the TPU-native second serialization format (the reference
+    # ships TorchScript alongside ONNX in every package with its own <1e-5
+    # gate, train/export.py:167-244; jax.export is the XLA-world analog)
+    from mtg_card_image_segmentation_tpu.export.stablehlo import export_stablehlo
+
+    def _nchw_fn(x_nchw):
+        xx = jnp.transpose(x_nchw, (0, 2, 3, 1))
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, xx, train=False
+        )
+        return jnp.transpose(out, (0, 3, 1, 2))
+
+    shlo_path = os.path.join(args.output_dir, "model.stablehlo")
+    with jax.default_matmul_precision("float32"):
+        shlo_info = export_stablehlo(
+            _nchw_fn, (jnp.zeros((1, 3, h, w), jnp.float32),), shlo_path,
+            platforms=("cpu", "tpu"),
+        )
+    print(f"model.stablehlo ({shlo_info['bytes'] / 1e6:.1f} MB, self-test "
+          f"max|diff|={shlo_info['self_test_max_diff']:.2e} "
+          f"{'PASS' if shlo_info['self_test_pass'] else 'FAIL'})")
+
     # state-dict export (train/export.py:246-280)
     flat = {}
 
@@ -306,8 +351,38 @@ def main() -> None:
             "int8_mask_agreement": agree8,
             "int8_pass": bool(ok8),
         })
+        # dynamic-batch gate: ONE artifact at batch 1 AND 4, through the
+        # mini runtime AND the independent torch runner
+        okdyn = True
+        if dyn_path:
+            from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+
+            dyn_loaded = op.Model.load(dyn_path)
+            dyn_results = {}
+            for nb in (1, 4):
+                xb = rng.standard_normal((nb, 3, h, w)).astype(np.float32)
+                refb = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    jnp.asarray(np.transpose(xb, (0, 2, 3, 1))), train=False,
+                )
+                refb = np.transpose(np.asarray(refb), (0, 3, 1, 2))
+                dmini = float(np.abs(
+                    np.asarray(make_runner(dyn_loaded)(jnp.asarray(xb))) - refb
+                ).max())
+                dtorch = float(np.abs(onnx_torch_runner.run_model(
+                    dyn_loaded, {"input": xb})["output"] - refb).max())
+                okb = max(dmini, dtorch) < cfg.export.parity_atol_fp32
+                okdyn = okdyn and okb
+                dyn_results[f"batch{nb}"] = {
+                    "mini_max_abs_diff": dmini,
+                    "torch_runner_max_abs_diff": dtorch,
+                    "pass": bool(okb),
+                }
+                print(f"dynamic-batch parity b{nb}: mini={dmini:.2e} "
+                      f"torch={dtorch:.2e} {'PASS' if okb else 'FAIL'}")
+            parity["dynamic_batch"] = dyn_results
         prec_ctx.__exit__(None, None, None)
-        if not (ok32 and ok16 and ok8):
+        if not (ok32 and ok16 and ok8 and okdyn):
             raise SystemExit("parity gate FAILED")
         parity.update(_independent_checks(fp32_path, x_nchw, ref_nchw, "output"))
 
@@ -323,6 +398,8 @@ def main() -> None:
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),
         "graph_optimization": opt_stats,
+        "stablehlo": shlo_info,
+        "dynamic_batch_artifact": os.path.basename(dyn_path) if dyn_path else None,
         "parity": parity,
     }
     with open(os.path.join(args.output_dir, "model_info.json"), "w") as f:

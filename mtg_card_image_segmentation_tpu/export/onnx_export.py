@@ -87,23 +87,34 @@ class GraphBuilder:
             return self.node("Sigmoid", [x], hint + "_sig")
         raise ValueError(act)
 
-    def resize_to(self, x: str, n: int, c: int, h: int, w: int, hint: str) -> str:
-        sizes = self.init_tensor(
-            self.fresh(hint + "_sizes"), np.asarray([n, c, h, w], np.int64)
+    def _resize_inputs(self, x, n, c, h, w, hint, scale):
+        """Resize size operands: static graphs pin full `sizes`; dynamic-
+        batch graphs use the spatial `scales` input instead (a batch entry
+        in `sizes` would re-pin the batch the dim_param just freed)."""
+        if scale is None:
+            sizes = self.init_tensor(
+                self.fresh(hint + "_sizes"), np.asarray([n, c, h, w], np.int64)
+            )
+            return [x, "", "", sizes]
+        scales = self.init_tensor(
+            self.fresh(hint + "_scales"),
+            np.asarray([1.0, 1.0, scale[0], scale[1]], np.float32),
         )
+        return [x, "", scales]
+
+    def resize_to(self, x: str, n: int, c: int, h: int, w: int, hint: str,
+                  scale=None) -> str:
         return self.node(
-            "Resize", [x, "", "", sizes], hint,
+            "Resize", self._resize_inputs(x, n, c, h, w, hint, scale), hint,
             mode="linear", coordinate_transformation_mode="half_pixel",
         )
 
-    def resize_nearest_to(self, x: str, n: int, c: int, h: int, w: int, hint: str) -> str:
+    def resize_nearest_to(self, x: str, n: int, c: int, h: int, w: int,
+                          hint: str, scale=None) -> str:
         """Nearest upsample, torch convention (src = floor(dst*in/out)):
         asymmetric + floor — exactly ops/resize.py nearest_resize."""
-        sizes = self.init_tensor(
-            self.fresh(hint + "_sizes"), np.asarray([n, c, h, w], np.int64)
-        )
         return self.node(
-            "Resize", [x, "", "", sizes], hint,
+            "Resize", self._resize_inputs(x, n, c, h, w, hint, scale), hint,
             mode="nearest", coordinate_transformation_mode="asymmetric",
             nearest_mode="floor",
         )
@@ -194,8 +205,14 @@ def export_seg_model(
     inter_channels: int = 128,
     batch: int = 1,
     opset: int = 17,
+    dynamic_batch: bool = False,
 ) -> op.Model:
-    """Folded seg params (fold_bn=True layout) -> ONNX Model."""
+    """Folded seg params (fold_bn=True layout) -> ONNX Model.
+
+    ``dynamic_batch`` emits a symbolic batch axis (`dim_param` "N") on
+    input/output and sizes the two upsamples via the Resize `scales`
+    input, so one artifact serves any batch (the reference's
+    `dynamic_axes`, train/export.py:68-79)."""
     h, w = input_hw
     g = GraphBuilder()
     bb = folded_params["backbone"]
@@ -259,13 +276,15 @@ def export_seg_model(
     s = g.node("Sigmoid", [s], "scale_sig")
     gated = g.node("Mul", [cbr, s], "gate")
     h8, w8 = h // 8, w // 8
-    up = g.resize_to(gated, batch, inter_channels, h8, w8, "up_s8")
+    up = g.resize_to(gated, batch, inter_channels, h8, w8, "up_s8",
+                     scale=(2.0, 2.0) if dynamic_batch else None)
     low_logits = g.conv(low_name, _np(head, "low_classifier", "kernel"),
                         _np(head, "low_classifier", "bias"), "low_cls")
     high_logits = g.conv(up, _np(head, "high_classifier", "kernel"),
                          _np(head, "high_classifier", "bias"), "high_cls")
     merged = g.node("Add", [low_logits, high_logits], "merge")
-    out = g.resize_to(merged, batch, num_classes, h, w, "up_full")
+    out = g.resize_to(merged, batch, num_classes, h, w, "up_full",
+                      scale=(8.0, 8.0) if dynamic_batch else None)
     # rename final node output to the contract name
     g.nodes[-1].outputs = ["output"]
 
@@ -273,8 +292,10 @@ def export_seg_model(
         graph_name="card_segmentation",
         nodes=g.nodes,
         initializers=g.initializers,
-        inputs=[("input", op.FLOAT, (batch, 3, h, w))],
-        outputs=[("output", op.FLOAT, (batch, num_classes, h, w))],
+        inputs=[("input", op.FLOAT,
+                 (None if dynamic_batch else batch, 3, h, w))],
+        outputs=[("output", op.FLOAT,
+                  (None if dynamic_batch else batch, num_classes, h, w))],
         opset=opset,
         doc=(
             "LR-ASPP MobileNetV3-Large card segmentation, exported by "
@@ -291,8 +312,13 @@ def export_pose_model(
     num_keypoints: int = 4,
     batch: int = 1,
     opset: int = 19,
+    dynamic_batch: bool = False,
 ) -> op.Model:
     """Folded HRNet-pose params -> ONNX Model.
+
+    ``dynamic_batch`` emits a symbolic batch axis and scales-based Resizes
+    (the reference exports dynamic batch by default,
+    train-pose-estimation_custom/export_onnx.py:74-95).
 
     Deployment contract of the custom pose pipeline
     (train-pose-estimation_custom/export_onnx.py:74-95): input "input"
@@ -384,7 +410,9 @@ def export_pose_model(
                     y = cba(src, fuse[f"up{i}_{j}"], f"f{stage_idx}_u{i}_{j}",
                             act=None)
                     y = g.resize_nearest_to(
-                        y, batch, out_c, *sizes[i], f"f{stage_idx}_u{i}_{j}_rs"
+                        y, batch, out_c, *sizes[i], f"f{stage_idx}_u{i}_{j}_rs",
+                        scale=(float(2 ** (j - i)),) * 2 if dynamic_batch
+                        else None,
                     )
                 acc = y if acc is None else g.node(
                     "Add", [acc, y], f"f{stage_idx}_o{i}_add{j}"
@@ -404,15 +432,19 @@ def export_pose_model(
         x = cba(x, head[f"conv{i}"], f"head_conv{i}")
     x = g.conv(x, _np(head, "final", "kernel"), _np(head, "final", "bias"), "final")
     hm_h, hm_w = heatmap_hw
-    out = g.resize_to(x, batch, num_keypoints, hm_h, hm_w, "up_hm")
+    out = g.resize_to(x, batch, num_keypoints, hm_h, hm_w, "up_hm",
+                      scale=(2.0, 2.0) if dynamic_batch else None)
     g.nodes[-1].outputs = ["heatmaps"]
 
     return op.Model(
         graph_name="card_corner_pose",
         nodes=g.nodes,
         initializers=g.initializers,
-        inputs=[("input", op.FLOAT, (batch, 3, h, w))],
-        outputs=[("heatmaps", op.FLOAT, (batch, num_keypoints, hm_h, hm_w))],
+        inputs=[("input", op.FLOAT,
+                 (None if dynamic_batch else batch, 3, h, w))],
+        outputs=[("heatmaps", op.FLOAT,
+                  (None if dynamic_batch else batch, num_keypoints,
+                   hm_h, hm_w))],
         opset=opset,
         doc=(
             "HRNet-W18-small corner-keypoint heatmap model, exported by "

@@ -63,10 +63,10 @@ def _conv(x, w, b, attrs, transpose=False):
     return out
 
 
-def _resize(x, sizes, attrs):
+def _resize(x, out_hw, attrs):
     mode = attrs.get("mode", "linear")
     ctm = attrs.get("coordinate_transformation_mode", "half_pixel")
-    out_h, out_w = int(sizes[2]), int(sizes[3])
+    out_h, out_w = out_hw
     nhwc = jnp.moveaxis(x, 1, -1)
     if mode == "linear":
         assert ctm == "half_pixel", ctm
@@ -119,7 +119,18 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, jax.Ar
         elif t == "GlobalAveragePool":
             out = jnp.mean(ins[0].astype(jnp.float32), axis=(2, 3), keepdims=True).astype(ins[0].dtype)
         elif t == "Resize":
-            out = _resize(ins[0], np.asarray(model_init(model, node.inputs[3])), a)
+            if len(node.inputs) > 3 and node.inputs[3]:
+                sizes = np.asarray(model_init(model, node.inputs[3]))
+                out_hw = (int(sizes[2]), int(sizes[3]))
+            else:
+                # dynamic-batch graphs size spatially via the `scales`
+                # input (ONNX: out = floor(in * scale))
+                scales = np.asarray(model_init(model, node.inputs[2]))
+                out_hw = (
+                    int(np.floor(ins[0].shape[2] * float(scales[2]))),
+                    int(np.floor(ins[0].shape[3] * float(scales[3]))),
+                )
+            out = _resize(ins[0], out_hw, a)
         elif t == "Cast":
             out = ins[0].astype(_ONNX_DTYPE_TO_JNP[int(a["to"])])
         elif t == "Concat":

@@ -78,8 +78,19 @@ def run_model(model: op.Model, feeds: Dict[str, np.ndarray]) -> Dict[str, np.nda
         elif t == "GlobalAveragePool":
             out = F.adaptive_avg_pool2d(ins[0], 1)
         elif t == "Resize":
-            sizes = env[node.inputs[3]].numpy()
-            size = (int(sizes[2]), int(sizes[3]))
+            if len(node.inputs) > 3 and node.inputs[3]:
+                sizes = env[node.inputs[3]].numpy()
+                size = (int(sizes[2]), int(sizes[3]))
+            else:
+                # dynamic-batch graphs use the `scales` input
+                # (ONNX: out = floor(in * scale))
+                import math
+
+                scales = env[node.inputs[2]].numpy()
+                size = (
+                    int(math.floor(ins[0].shape[2] * float(scales[2]))),
+                    int(math.floor(ins[0].shape[3] * float(scales[3]))),
+                )
             mode = a.get("mode", "linear")
             ctm = a.get("coordinate_transformation_mode", "half_pixel")
             if mode == "linear":

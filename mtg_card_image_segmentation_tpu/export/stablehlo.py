@@ -25,12 +25,20 @@ def export_stablehlo(
     path: str,
     self_test: bool = True,
     atol: float = 1e-5,
+    platforms: Optional[Tuple[str, ...]] = None,
 ) -> dict:
     """Serialize ``jax.jit(fn)(*example_args)`` to ``path`` (.stablehlo)
-    with a JSON sidecar describing the calling convention. Returns info."""
+    with a JSON sidecar describing the calling convention. Returns info.
+
+    ``platforms`` lowers one artifact for several backends (e.g.
+    ``("cpu", "tpu")``) so the deployment package is not locked to the
+    exporting host's platform; the self-test still executes on the
+    default backend."""
     from jax import export as jax_export
 
-    exported = jax_export.export(jax.jit(fn))(*example_args)
+    exported = jax_export.export(
+        jax.jit(fn), platforms=platforms
+    )(*example_args)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)

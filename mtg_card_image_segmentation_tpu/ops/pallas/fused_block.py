@@ -50,6 +50,39 @@ activation (so images-per-step does NOT halve, unlike the f32 attempt),
 and at dilation 2 every slice offset is even, matching the bf16 sublane
 packing granularity of 2. Stride-1 blocks only (the serving tail is all
 stride 1); stride-2 keeps the concat path.
+
+ROUND-4 ROOFLINE VERDICT (every number measured e2e on the real v5e via
+bench.py @512^2 b128; concat baseline 22.36 ms / 5,724 img/s):
+
+1. bf16 scratch + static-slice taps: 25.60 ms. The padded scratch + fp32
+   accumulator still halves images-per-step (8 -> 4 by VMEM accounting);
+   grid overhead eats the saved copies. Kept opt-in.
+2. Hierarchical shift reuse (rows-outer 22.65 ms; columns-outer 22.69 ms
+   — k sublane-crossing copies instead of k^2): NO change. The concat
+   shifts are not where the time is.
+3. bf16 accumulation, one final convert (MTG_DW_ACC=bfloat16): 24.60 ms —
+   SLOWER. The VPU's native elementwise path is f32; bf16 adds pay
+   pack/unpack, so the 25 per-term converts were never the cost either.
+4. 3-block megakernel (fused_tail_chain, now the serving default):
+   22.30 ms — launches/DMA windows were ~0.3% of step time.
+
+What remains is the arithmetic itself, pinned by tools/vpu_stencil_floor.py
+(same shapes, honest fence): the 25-term broadcast multiply-accumulate
+chain WITHOUT any shifts costs 1.80 ms per block13-equivalent — a measured
+1.75e12 FMA-terms/s VPU issue rate (each term = bf16 multiply + f32
+convert + f32 add). Scaled to the three tail blocks (672+960+960 channels)
+that is ~4.9 ms of pure, shift-free arithmetic; the expand/project MXU
+matmuls measured 1.29 ms in the same harness ('pass' variant, x3 blocks
+~2 ms with project), plus SE reductions and residuals. The 8.4 ms trace
+figure therefore sits within ~1.2x of the measured-component sum, and the
+microbench's 'full' variant shows where that last fraction lives: Mosaic's
+register allocator requests 132 MB of spill slots for the shifted chain
+(vs 128 MB physical VMEM) — spill traffic, not a schedulable op. The
+README's earlier "~6 ms roofline" assumed 2 ops/term; the VPU executes 3
+(multiply, convert, add) and bf16-native accumulate is measured slower,
+so ~8 ms IS the speed of light for this op sequence on this VPU. Further
+gains require changing the op sequence itself (e.g. an architecture whose
+tail is not depthwise), not the schedule.
 """
 
 from __future__ import annotations
@@ -282,6 +315,165 @@ def _pick_images_per_step(b: int, h: int, w: int, cin: int, cexp: int,
         if bytes_needed <= budget:
             return bt
     return 0  # no valid tiling (caller falls back to XLA)
+
+
+def _ir_value(x, w, bt: int, h: int, wd: int, k: int, act: str,
+              has_expand: bool, has_se: bool, residual: bool, dilation: int):
+    """One stride-1 inverted-residual block on in-VMEM VALUES (the
+    chained-megakernel body; same math as _make_kernel's concat path)."""
+    if has_expand:
+        y = jnp.dot(
+            x.reshape(bt * h * wd, -1).astype(jnp.bfloat16),
+            w["exp_k"][:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) + w["exp_b"][:]
+        y = _act(y, act).reshape(bt, h, wd, -1).astype(jnp.bfloat16)
+    else:
+        y = x.astype(jnp.bfloat16)
+
+    acc = None
+    ks = range(-(k - 1) // 2, (k - 1) // 2 + 1)
+    for ix, dx in enumerate(ks):
+        yc = _shift2d(y, 0, dx * dilation) if dx else y
+        for iy, dy in enumerate(ks):
+            xs_ = _shift2d(yc, dy * dilation, 0) if dy else yc
+            term = xs_ * w["dw_k"][iy * k + ix][None, None, None, :].astype(
+                jnp.bfloat16
+            )
+            acc = (term.astype(jnp.float32) if acc is None
+                   else acc + term.astype(jnp.float32))
+    y = _act(acc + w["dw_b"][:][None, None, None, :], act).astype(jnp.bfloat16)
+
+    if has_se:
+        s = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+        s = jnp.maximum(
+            jnp.dot(s, w["se1_k"][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + w["se1_b"][:], 0.0)
+        s = jnp.dot(s, w["se2_k"][:].astype(jnp.float32),
+                    preferred_element_type=jnp.float32) + w["se2_b"][:]
+        s = jnp.clip(s + 3.0, 0.0, 6.0) / 6.0
+        y = y * s[:, None, None, :].astype(jnp.bfloat16)
+
+    out = jnp.dot(
+        y.reshape(bt * h * wd, -1).astype(jnp.bfloat16),
+        w["proj_k"][:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + w["proj_b"][:]
+    out = out.reshape(bt, h, wd, -1)
+    if residual:
+        out = out + x.astype(jnp.float32)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_size", "act", "dilation", "interpret",
+                     "images_per_step"),
+)
+def fused_tail_chain(
+    x: jax.Array,  # (B, H, W, Cin)
+    params_list: tuple,  # tuple of folded block subtrees, executed in order
+    kernel_size: int = 5,
+    act: str = "hardswish",
+    dilation: int = 2,
+    interpret: bool = False,
+    images_per_step: Optional[int] = None,
+) -> jax.Array:
+    """Run a CHAIN of stride-1 inverted-residual blocks as ONE pallas
+    kernel (the serving tail: blocks 12-14, 32x32 maps at 512^2).
+
+    vs one pallas_call per block this removes two kernel launches, two
+    double-buffered inter-block DMA window pairs, and two HBM round trips
+    of the 160-ch inter-block feature maps per grid step — per-step
+    overhead that the per-block A/B experiments (shift restructuring,
+    accumulator dtype) showed was NOT in the arithmetic. Residual
+    connections are applied where cin == cout (MobileNetV3 tail rule).
+    VMEM accounting uses the widest block; raises ValueError when no
+    tiling fits (callers fall back to per-block kernels).
+    """
+    b, h, w, cin = x.shape
+    cexp_max, chain_cout = 0, cin
+    cfgs = []
+    for p in params_list:
+        has_expand = "expand" in p
+        has_se = "se" in p
+        cexp = p["depthwise"]["conv"]["kernel"].shape[-1]
+        cout = p["project"]["conv"]["kernel"].shape[-1]
+        cfgs.append((has_expand, has_se, cexp, cout,
+                     chain_cout == cout))  # residual if shapes allow
+        cexp_max = max(cexp_max, cexp)
+        chain_cout = cout
+    bt = images_per_step or _pick_images_per_step(
+        b, h, w, cin, cexp_max, chain_cout, stride=1,
+        itemsize=x.dtype.itemsize,
+    )
+    if bt == 0 or b % bt != 0 or (bt * h * w) % 8 != 0:
+        raise ValueError(f"no valid chained tiling for shape {x.shape}")
+
+    inputs = [x]
+    in_specs = [
+        pl.BlockSpec((bt, h, w, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+
+    def add_mat(arr):
+        arr = jnp.asarray(arr, jnp.float32)
+        inputs.append(arr)
+        in_specs.append(pl.BlockSpec(
+            arr.shape, lambda i: tuple(0 for _ in arr.shape),
+            memory_space=pltpu.VMEM,
+        ))
+
+    names_per_block = []
+    for p, (has_expand, has_se, cexp, cout, _res) in zip(params_list, cfgs):
+        names = []
+        if has_expand:
+            add_mat(p["expand"]["conv"]["kernel"].reshape(-1, cexp))
+            add_mat(p["expand"]["conv"]["bias"])
+            names += ["exp_k", "exp_b"]
+        add_mat(p["depthwise"]["conv"]["kernel"].reshape(kernel_size**2, cexp))
+        add_mat(p["depthwise"]["conv"]["bias"])
+        names += ["dw_k", "dw_b"]
+        if has_se:
+            add_mat(p["se"]["fc1"]["kernel"].reshape(cexp, -1))
+            add_mat(p["se"]["fc1"]["bias"])
+            add_mat(p["se"]["fc2"]["kernel"].reshape(-1, cexp))
+            add_mat(p["se"]["fc2"]["bias"])
+            names += ["se1_k", "se1_b", "se2_k", "se2_b"]
+        add_mat(p["project"]["conv"]["kernel"].reshape(cexp, cout))
+        add_mat(p["project"]["conv"]["bias"])
+        names += ["proj_k", "proj_b"]
+        names_per_block.append(names)
+
+    def kernel(*refs):
+        x_ref, rest = refs[0], refs[1:]
+        out_ref = rest[-1]
+        rest = rest[:-1]
+        val = x_ref[:]
+        pos = 0
+        for (has_expand, has_se, _cexp, _cout, res), names in zip(
+            cfgs, names_per_block
+        ):
+            wdict = {nm: rest[pos + j] for j, nm in enumerate(names)}
+            pos += len(names)
+            val = _ir_value(val, wdict, bt, h, w, kernel_size, act,
+                            has_expand, has_se, res, dilation)
+        out_ref[:] = val.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, chain_cout), x.dtype),
+        grid=(b // bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bt, h, w, chain_cout), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
 
 
 @functools.partial(

@@ -371,3 +371,58 @@ def test_int8_qdq_export(seg_export, tmp_path):
     # independent torch execution of the QDQ graph
     got = onnx_torch_runner.run_model(loaded, {"input": x_nchw})["output"]
     np.testing.assert_allclose(got, out, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("family", ["seg", "pose"])
+def test_dynamic_batch_export_parity(family, seg_export, pose_export, tmp_path):
+    """Dynamic-batch artifacts (`dim_param` batch axis + scales-based
+    Resizes, the reference's dynamic_axes, train/export.py:68-79): ONE
+    serialized graph must run at batch 1 AND batch 4 through BOTH
+    independent executors and match the Flax model within the fp32 gate."""
+    from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+    from mtg_card_image_segmentation_tpu.export.onnx_export import (
+        export_pose_model,
+    )
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import (
+        run_model,
+    )
+
+    if family == "seg":
+        model, variables, _, (h, w) = seg_export
+        folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+        dyn = export_seg_model(folded, input_hw=(h, w), dynamic_batch=True)
+        out_name = "output"
+    else:
+        model, variables, _, (h, w) = pose_export
+        folded = fold_batch_norm(variables["params"], variables["batch_stats"])
+        dyn = export_pose_model(
+            folded, input_hw=(h, w), heatmap_hw=(h // 4, w // 4),
+            dynamic_batch=True,
+        )
+        out_name = "heatmaps"
+
+    path = str(tmp_path / f"{family}_dynamic.onnx")
+    dyn.save(path)
+    loaded = op.Model.load(path)
+    # the symbolic batch axis round-trips as None (dim_param)
+    assert loaded.inputs[0][2][0] is None
+    assert loaded.outputs[0][2][0] is None
+
+    rng = np.random.default_rng(11)
+    for batch in (1, 4):
+        x_nchw = rng.standard_normal((batch, 3, h, w)).astype(np.float32)
+        ref = model.apply(
+            variables, jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))),
+            train=False,
+        )
+        ref = np.transpose(np.asarray(ref), (0, 3, 1, 2))
+        mini = np.asarray(
+            run_model(loaded, {"input": x_nchw})[out_name]
+        )
+        diff_mini = np.abs(mini - ref).max()
+        assert diff_mini < 1e-4, (batch, diff_mini)
+        torch_out = onnx_torch_runner.run_model(loaded, {"input": x_nchw})[
+            out_name
+        ]
+        diff_torch = np.abs(np.asarray(torch_out) - ref).max()
+        assert diff_torch < 1e-4, (batch, diff_torch)

@@ -114,3 +114,43 @@ def test_fused_block_dilated_tail(stencil):
         )
     )
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def test_fused_tail_chain_matches_sequential_blocks():
+    """The 3-block chained megakernel == the three Flax tail blocks run in
+    sequence (block12: 112->160 no residual; 13/14: 160->160 residual),
+    dilation 2, k=5, SE, hardswish — the serving FUSED_BLOCKS chain."""
+    from mtg_card_image_segmentation_tpu.ops.pallas.fused_block import (
+        fused_tail_chain,
+    )
+
+    rng = np.random.default_rng(0)
+    h = w = 16
+    # narrow stand-ins for (112,672,160) / (160,960,160): same topology
+    specs = [(24, 64, 40), (40, 96, 40), (40, 96, 40)]
+    x = jnp.asarray(rng.standard_normal((2, h, w, specs[0][0])), jnp.float32)
+    params_list, ref = [], x
+    for si, (cin, exp, cout) in enumerate(specs):
+        module = InvertedResidual(
+            expanded=exp, out_features=cout, kernel=5, stride=1, dilation=2,
+            use_se=True, act="hardswish", dtype=jnp.float32,
+        )
+        variables = module.init(jax.random.key(si), ref, train=False)
+        _, mutated = module.apply(
+            variables, ref * 1.2 + 0.1, train=True, mutable=["batch_stats"]
+        )
+        folded = fold_batch_norm(variables["params"], mutated["batch_stats"])
+        folded_module = InvertedResidual(
+            expanded=exp, out_features=cout, kernel=5, stride=1, dilation=2,
+            use_se=True, act="hardswish", dtype=jnp.float32, fold_bn=True,
+        )
+        ref = folded_module.apply({"params": folded}, ref, train=False)
+        params_list.append(folded)
+
+    out = np.asarray(
+        fused_tail_chain(
+            x, tuple(params_list), kernel_size=5, act="hardswish",
+            dilation=2, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=0.06, atol=0.06)

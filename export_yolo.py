@@ -4,10 +4,12 @@
 half) driven from train-pose-estimation_yolo12n/model.py:266-310).
 
 Creates a deployment package from a trained YOLO corner checkpoint:
-  yolo.onnx        fp32 ONNX graph (BN folded, decode in-graph), opset 19
-  yolo_fp16.onnx   fp16 weights, fp32 I/O
-  yolo_int8.onnx   QDQ per-channel int8 conv weights (~4x smaller download)
-  yolo_info.json   IO contract + parity results
+  yolo.onnx          fp32 ONNX graph (BN folded, decode in-graph), opset 19
+  yolo_fp16.onnx     fp16 weights, fp32 I/O
+  yolo_int8.onnx     QDQ per-channel int8 conv weights (~4x smaller download)
+  yolo_dynamic.onnx  fp32 with a symbolic batch axis (ultralytics dynamic=True)
+  yolo.stablehlo     jax.export StableHLO + .json sidecar (<1e-5 self-test)
+  yolo_info.json     IO contract + parity results
 
 Output contract: "output0" (1, 17, A) — rows [x1,y1,x2,y2,score,
 (kx,ky,kconf)x4] in input pixels (see export/onnx_yolo.py). Parity gates:
@@ -33,6 +35,12 @@ def main() -> None:
     parser.add_argument("--skip-verify", action="store_true")
     parser.add_argument("--info", action="store_true",
                         help="print checkpoint info and exit")
+    parser.add_argument(
+        "--dynamic-batch", action=argparse.BooleanOptionalAction, default=True,
+        help="also emit yolo_dynamic.onnx with a symbolic batch axis "
+        "(the reference's ultralytics export defaults dynamic=True, "
+        "model.py:266-310)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -96,6 +104,45 @@ def main() -> None:
     int8_model.save(int8_path)
     print(f"yolo_int8.onnx ({os.path.getsize(int8_path) / 1e6:.1f} MB, "
           f"{os.path.getsize(fp32_path) / os.path.getsize(int8_path):.2f}x smaller)")
+
+    dyn_path = None
+    if args.dynamic_batch:
+        dyn_model = export_yolo_model(folded, imgsz=size, opset=19,
+                                      dynamic_batch=True)
+        optimize(dyn_model)
+        dyn_path = os.path.join(args.output_dir, "yolo_dynamic.onnx")
+        dyn_model.save(dyn_path)
+        print(f"yolo_dynamic.onnx ({os.path.getsize(dyn_path) / 1e6:.1f} MB, "
+              f"symbolic batch axis)")
+
+    # StableHLO second serialization format (reference packages TorchScript
+    # alongside ONNX in the seg path, train/export.py:167-244); the YOLO
+    # artifact carries the same output0 layout as the ONNX graph
+    from mtg_card_image_segmentation_tpu.export.stablehlo import export_stablehlo
+
+    shlo_model = YOLO12Pose(fold_bn=True, dtype=jnp.float32)
+
+    def _output0_fn(x_nchw):
+        boxes, scores, kpts = shlo_model.apply(
+            {"params": folded}, jnp.transpose(x_nchw, (0, 2, 3, 1)),
+            train=False,
+        )
+        b = jnp.moveaxis(boxes, 1, 2)
+        sc = jnp.moveaxis(scores, 1, 2)
+        kk = jnp.transpose(kpts, (0, 2, 3, 1)).reshape(
+            x_nchw.shape[0], -1, b.shape[2]
+        )
+        return jnp.concatenate([b, sc, kk], axis=1)
+
+    shlo_path = os.path.join(args.output_dir, "yolo.stablehlo")
+    with jax.default_matmul_precision("float32"):
+        shlo_info = export_stablehlo(
+            _output0_fn, (jnp.zeros((1, 3, size, size), jnp.float32),),
+            shlo_path, platforms=("cpu", "tpu"),
+        )
+    print(f"yolo.stablehlo ({shlo_info['bytes'] / 1e6:.1f} MB, self-test "
+          f"max|diff|={shlo_info['self_test_max_diff']:.2e} "
+          f"{'PASS' if shlo_info['self_test_pass'] else 'FAIL'})")
 
     atol32, atol16 = 2e-3, 1.0
     parity = {}
@@ -214,7 +261,42 @@ def main() -> None:
             print("independent protoc decode: "
                   + ("PASS" if parity["protoc_decode_pass"]
                      else "FAIL: " + proc.stderr[:200]))
-        if not (ok32 and ok16 and okt and ok8):
+        okdyn = True
+        if dyn_path:
+            dyn_loaded = op.Model.load(dyn_path)
+            dyn_results = {}
+            with jax.default_matmul_precision("float32"):
+                for nb in (1, 4):
+                    xb = rng.random((nb, 3, size, size)).astype(np.float32)
+                    boxes, scores, kpts = jax.jit(
+                        lambda img: folded_model.apply(
+                            {"params": folded}, img, train=False)
+                    )(jnp.asarray(np.transpose(xb, (0, 2, 3, 1))))
+                    bb = np.moveaxis(np.asarray(boxes), 1, 2)
+                    sc = np.moveaxis(np.asarray(scores), 1, 2)
+                    kk = np.transpose(np.asarray(kpts), (0, 2, 3, 1)).reshape(
+                        nb, -1, bb.shape[2])
+                    refb = np.concatenate([bb, sc, kk], axis=1)
+                    outb = np.asarray(
+                        make_runner(dyn_loaded)(jnp.asarray(xb)))
+                    db = float(np.abs(outb - refb).max())
+                    from mtg_card_image_segmentation_tpu.export import (
+                        onnx_torch_runner as _otr,
+                    )
+
+                    dtb = float(np.abs(_otr.run_model(
+                        dyn_loaded, {"input": xb})["output0"] - refb).max())
+                    okb = max(db, dtb) < atol32
+                    okdyn = okdyn and okb
+                    dyn_results[f"batch{nb}"] = {
+                        "mini_max_abs_diff": db,
+                        "torch_runner_max_abs_diff": dtb,
+                        "pass": bool(okb),
+                    }
+                    print(f"dynamic-batch parity b{nb}: mini={db:.2e} "
+                          f"torch={dtb:.2e} {'PASS' if okb else 'FAIL'}")
+            parity["dynamic_batch"] = dyn_results
+        if not (ok32 and ok16 and okt and ok8 and okdyn):
             raise SystemExit("parity gate FAILED")
 
     info = {
@@ -233,6 +315,8 @@ def main() -> None:
         },
         "parameters": count_parameters(params),
         "opset": 19,
+        "stablehlo": shlo_info,
+        "dynamic_batch_artifact": os.path.basename(dyn_path) if dyn_path else None,
         "checkpoint_epoch": meta.get("epoch"),
         "best_metric": meta.get("best_metric"),
         "parity": parity,

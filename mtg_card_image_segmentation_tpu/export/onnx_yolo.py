@@ -43,9 +43,17 @@ def export_yolo_model(
     num_keypoints: int = 4,
     batch: int = 1,
     opset: int = 19,
+    dynamic_batch: bool = False,
 ) -> op.Model:
-    """Folded yolo12n-pose params (fold_bn=True layout) -> ONNX Model."""
+    """Folded yolo12n-pose params (fold_bn=True layout) -> ONNX Model.
+
+    ``dynamic_batch`` emits a symbolic batch axis (the reference's
+    ultralytics export defaults ``dynamic=True``, model.py:266-310): the
+    attention/decode reshapes keep a ``-1`` leading batch dim, PAN
+    upsamples use the Resize ``scales`` input, and MatMuls broadcast over
+    the extra leading dims (ONNX stacked-matmul semantics)."""
     assert imgsz % 32 == 0, imgsz
+    nb = -1 if dynamic_batch else batch  # leading dim for batch-carrying reshapes
     g = GraphBuilder()
     net = folded_params["net"]
 
@@ -96,25 +104,41 @@ def export_yolo_model(
         n = h * w
         assert n % area == 0, (h, w, area)
         m = n // area
-        qkv = cbs(x, sub["qkv"], hint + "_qkv", act=False)  # (1, 3C, H, W)
-        t = g.reshape(qkv, (3, heads, hd, area, m), hint + "_split")
-        q = g.slice(t, [0], [1], [0], hint + "_q")
-        k = g.slice(t, [1], [2], [0], hint + "_k")
-        v = g.slice(t, [2], [3], [0], hint + "_v")
-        q4 = g.reshape(q, (heads, hd, area, m), hint + "_q4")
-        k4 = g.reshape(k, (heads, hd, area, m), hint + "_k4")
-        v4 = g.reshape(v, (heads, hd, area, m), hint + "_v4")
-        qT = g.transpose(q4, (2, 0, 3, 1), hint + "_qT")  # (area, heads, m, hd)
-        kT = g.transpose(k4, (2, 0, 1, 3), hint + "_kT")  # (area, heads, hd, m)
-        vT = g.transpose(v4, (2, 0, 3, 1), hint + "_vT")  # (area, heads, m, hd)
+        qkv = cbs(x, sub["qkv"], hint + "_qkv", act=False)  # (N, 3C, H, W)
+        if dynamic_batch:
+            # keep N as a -1 leading dim; MatMul broadcasts leading dims
+            t = g.reshape(qkv, (nb, 3, heads, hd, area, m), hint + "_split")
+            q = g.slice(t, [0], [1], [1], hint + "_q")
+            k = g.slice(t, [1], [2], [1], hint + "_k")
+            v = g.slice(t, [2], [3], [1], hint + "_v")
+            q4 = g.reshape(q, (nb, heads, hd, area, m), hint + "_q4")
+            k4 = g.reshape(k, (nb, heads, hd, area, m), hint + "_k4")
+            v4 = g.reshape(v, (nb, heads, hd, area, m), hint + "_v4")
+            qT = g.transpose(q4, (0, 3, 1, 4, 2), hint + "_qT")  # (N,area,heads,m,hd)
+            kT = g.transpose(k4, (0, 3, 1, 2, 4), hint + "_kT")  # (N,area,heads,hd,m)
+            vT = g.transpose(v4, (0, 3, 1, 4, 2), hint + "_vT")  # (N,area,heads,m,hd)
+        else:
+            t = g.reshape(qkv, (3, heads, hd, area, m), hint + "_split")
+            q = g.slice(t, [0], [1], [0], hint + "_q")
+            k = g.slice(t, [1], [2], [0], hint + "_k")
+            v = g.slice(t, [2], [3], [0], hint + "_v")
+            q4 = g.reshape(q, (heads, hd, area, m), hint + "_q4")
+            k4 = g.reshape(k, (heads, hd, area, m), hint + "_k4")
+            v4 = g.reshape(v, (heads, hd, area, m), hint + "_v4")
+            qT = g.transpose(q4, (2, 0, 3, 1), hint + "_qT")  # (area, heads, m, hd)
+            kT = g.transpose(k4, (2, 0, 1, 3), hint + "_kT")  # (area, heads, hd, m)
+            vT = g.transpose(v4, (2, 0, 3, 1), hint + "_vT")  # (area, heads, m, hd)
         attn = g.matmul(qT, kT, hint + "_logits")
         scale = g.const(np.asarray(hd**-0.5, np.float32), hint + "_scale")
         attn = g.node("Mul", [attn, scale], hint + "_scaled")
         attn = g.softmax(attn, -1, hint + "_sm")
-        o = g.matmul(attn, vT, hint + "_av")  # (area, heads, m, hd)
-        o = g.transpose(o, (1, 3, 0, 2), hint + "_oT")  # (heads, hd, area, m)
-        o = g.reshape(o, (1, dim, h, w), hint + "_o")
-        vv = g.reshape(v4, (1, dim, h, w), hint + "_vv")
+        o = g.matmul(attn, vT, hint + "_av")  # (..., m, hd)
+        if dynamic_batch:
+            o = g.transpose(o, (0, 2, 4, 1, 3), hint + "_oT")  # (N,heads,hd,area,m)
+        else:
+            o = g.transpose(o, (1, 3, 0, 2), hint + "_oT")  # (heads, hd, area, m)
+        o = g.reshape(o, (nb, dim, h, w), hint + "_o")
+        vv = g.reshape(v4, (nb, dim, h, w), hint + "_vv")
         pe = cbs(vv, sub["pe"], hint + "_pe", groups=dim, act=False)
         o = g.node("Add", [o, pe], hint + "_ope")
         return cbs(o, sub["proj"], hint + "_proj", act=False)
@@ -159,11 +183,13 @@ def export_yolo_model(
     # --- PAN head (rows 9-20) ---
     ch_p4bb = out_ch(net["l6"]["cv2"])
     ch_p5bb = out_ch(net["l8"]["cv2"])
-    up = g.resize_nearest_to(p5_bb, batch, ch_p5bb, s16, s16, "up_p5")
+    up = g.resize_nearest_to(p5_bb, batch, ch_p5bb, s16, s16, "up_p5",
+                             scale=(2.0, 2.0) if dynamic_batch else None)
     x = g.concat([up, p4_bb], 1, "cat_p4")
     p4_mid = a2c2f(x, net["l11"], "l11")
     ch_p4mid = out_ch(net["l11"]["cv2"])
-    up = g.resize_nearest_to(p4_mid, batch, ch_p4mid, s8, s8, "up_p4")
+    up = g.resize_nearest_to(p4_mid, batch, ch_p4mid, s8, s8, "up_p4",
+                             scale=(2.0, 2.0) if dynamic_batch else None)
     x = g.concat([up, p3_bb], 1, "cat_p3")
     p3 = a2c2f(x, net["l14"], "l14")
     x = cbs(p3, net["l15"], "l15", stride=2)
@@ -203,7 +229,7 @@ def export_yolo_model(
         cy = g.const(cy_px, f"lv{li}_cy")
 
         # DFL expectation -> ltrb strides -> pixel xyxy
-        bx = g.reshape(b, (batch, 4, REG_MAX, n), f"lv{li}_dfl_in")
+        bx = g.reshape(b, (nb, 4, REG_MAX, n), f"lv{li}_dfl_in")
         bx = g.softmax(bx, 2, f"lv{li}_dfl_sm")
         bx = g.transpose(bx, (0, 1, 3, 2), f"lv{li}_dfl_T")
         bins = g.const(
@@ -211,7 +237,7 @@ def export_yolo_model(
             f"lv{li}_bins",
         )
         dist = g.matmul(bx, bins, f"lv{li}_dfl_e")  # (1,4,n,1)
-        dist = g.reshape(dist, (batch, 4, n), f"lv{li}_dist")
+        dist = g.reshape(dist, (nb, 4, n), f"lv{li}_dist")
         sconst = g.const(np.asarray(float(stride), np.float32), f"lv{li}_s")
         dist = g.node("Mul", [dist, sconst], f"lv{li}_dist_px")
         l_ = g.slice(dist, [0], [1], [1], f"lv{li}_l")
@@ -224,23 +250,23 @@ def export_yolo_model(
         y2 = g.node("Add", [cy, bt], f"lv{li}_y2")
         boxes = g.concat([x1, y1, x2, y2], 1, f"lv{li}_boxes")  # (1,4,n)
 
-        score = g.reshape(c, (batch, num_classes, n), f"lv{li}_cls_flat")
+        score = g.reshape(c, (nb, num_classes, n), f"lv{li}_cls_flat")
         score = g.node("Sigmoid", [score], f"lv{li}_score")
 
-        kp = g.reshape(k, (batch, num_keypoints, 3, n), f"lv{li}_kp")
+        kp = g.reshape(k, (nb, num_keypoints, 3, n), f"lv{li}_kp")
         koff = g.const(np.asarray(KPT_OFFSET_SCALE, np.float32), f"lv{li}_ks")
         kxo = g.slice(kp, [0], [1], [2], f"lv{li}_kxo")
         kyo = g.slice(kp, [1], [2], [2], f"lv{li}_kyo")
         kco = g.slice(kp, [2], [3], [2], f"lv{li}_kco")
-        cx4 = g.reshape(cx, (batch, 1, 1, n), f"lv{li}_cx4")
-        cy4 = g.reshape(cy, (batch, 1, 1, n), f"lv{li}_cy4")
+        cx4 = g.reshape(cx, (1, 1, 1, n), f"lv{li}_cx4")
+        cy4 = g.reshape(cy, (1, 1, 1, n), f"lv{li}_cy4")
         kx = g.node("Add", [g.node("Mul", [kxo, koff], f"lv{li}_kxs"), cx4],
                     f"lv{li}_kx")
         ky = g.node("Add", [g.node("Mul", [kyo, koff], f"lv{li}_kys"), cy4],
                     f"lv{li}_ky")
         kc = g.node("Sigmoid", [kco], f"lv{li}_kc")
         kdec = g.concat([kx, ky, kc], 2, f"lv{li}_kdec")  # (1,K,3,n)
-        kdec = g.reshape(kdec, (batch, num_keypoints * 3, n), f"lv{li}_kflat")
+        kdec = g.reshape(kdec, (nb, num_keypoints * 3, n), f"lv{li}_kflat")
 
         level_outs.append(
             g.concat([boxes, score, kdec], 1, f"lv{li}_out")
@@ -255,8 +281,10 @@ def export_yolo_model(
         graph_name="card_corner_yolo12n_pose",
         nodes=g.nodes,
         initializers=g.initializers,
-        inputs=[("input", op.FLOAT, (batch, 3, imgsz, imgsz))],
-        outputs=[("output0", op.FLOAT, (batch, rows, total_a))],
+        inputs=[("input", op.FLOAT,
+                 (None if dynamic_batch else batch, 3, imgsz, imgsz))],
+        outputs=[("output0", op.FLOAT,
+                  (None if dynamic_batch else batch, rows, total_a))],
         opset=opset,
         doc=(
             "YOLO12n-pose card corner detector, exported by "

@@ -110,3 +110,55 @@ def test_yolo_optimized_graph_parity(yolo_export):
     got = np.asarray(run_model(m, {"input": x_nchw})["output0"])
     np.testing.assert_array_equal(ref, got)
     assert len(m.nodes) <= n_before
+
+
+def test_yolo_dynamic_batch_parity(yolo_export, tmp_path):
+    """ONE dynamic-batch artifact (symbolic batch, batch-aware attention
+    reshapes, scales-based PAN upsamples) runs at batch 1 AND 3 through
+    both executors and matches the Flax decode (the reference's ultralytics
+    export defaults dynamic=True, model.py:266-310)."""
+    from mtg_card_image_segmentation_tpu.export import onnx_torch_runner
+    from mtg_card_image_segmentation_tpu.export.onnx_runtime_mini import (
+        run_model,
+    )
+
+    model = YOLO12Pose(fold_bn=False, dtype=jnp.float32)
+    variables = jax.jit(
+        lambda key: model.init(key, jnp.zeros((1, IMGSZ, IMGSZ, 3)),
+                               train=True)
+    )(jax.random.key(0))
+    _, mutated = model.apply(
+        variables,
+        jnp.asarray(np.random.default_rng(1).random((2, IMGSZ, IMGSZ, 3)),
+                    jnp.float32),
+        train=True, mutable=["batch_stats"],
+    )
+    folded = fold_batch_norm(variables["params"], mutated["batch_stats"])
+    dyn = export_yolo_model(folded, imgsz=IMGSZ, dynamic_batch=True)
+    path = str(tmp_path / "yolo_dynamic.onnx")
+    dyn.save(path)
+    loaded = op.Model.load(path)
+    assert loaded.inputs[0][2][0] is None
+    assert loaded.outputs[0][2][0] is None
+
+    folded_model = YOLO12Pose(fold_bn=True, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    for batch in (1, 3):
+        x_nchw = rng.random((batch, 3, IMGSZ, IMGSZ)).astype(np.float32)
+        boxes, scores, kpts = jax.jit(
+            lambda img: folded_model.apply({"params": folded}, img,
+                                           train=False)
+        )(jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1))))
+        b = np.moveaxis(np.asarray(boxes), 1, 2)  # (N, 4, A)
+        sc = np.moveaxis(np.asarray(scores), 1, 2)
+        kk = np.asarray(kpts)  # (N, A, K, 3)
+        kk = np.transpose(kk, (0, 2, 3, 1)).reshape(batch, -1, b.shape[2])
+        expected = np.concatenate([b, sc, kk], axis=1)
+
+        mini = np.asarray(run_model(loaded, {"input": x_nchw})["output0"])
+        assert mini.shape == expected.shape
+        assert np.abs(mini - expected).max() < 2e-3, batch
+        torch_out = np.asarray(
+            onnx_torch_runner.run_model(loaded, {"input": x_nchw})["output0"]
+        )
+        assert np.abs(torch_out - expected).max() < 2e-3, batch

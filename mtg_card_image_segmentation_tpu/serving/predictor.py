@@ -152,30 +152,24 @@ def _fused_backbone(bb_params, x, dtype, fused_ids=FUSED_BLOCKS,
             cin = out
             continue
         if i == 12 and chain_enabled:
-            widths_ok = all(
-                int(bb_params[f"block{j}"]["depthwise"]["conv"]["kernel"]
-                    .shape[-1]) == MOBILENET_V3_LARGE_ROWS[j][1]
-                for j in (12, 13, 14)
-            )
-            if widths_ok:
-                try:
-                    x = fused_tail_chain(
-                        x,
-                        tuple(bb_params[f"block{j}"] for j in (12, 13, 14)),
-                        kernel_size=5, act="hardswish", dilation=2,
-                    )
-                    chain_consumed = True
-                    cin = out
-                    continue
-                except ValueError:
-                    pass  # no tiling: fall through to per-block kernels
-        # slim (physically channel-pruned) checkpoints have narrower
-        # expansions than the table — read the width from the params and
-        # take the XLA path for those blocks (the Pallas kernel's tiling
-        # assumes the table widths)
+            # widths come from the params, not the arch table — slim
+            # (physically channel-pruned) checkpoints ride the same chain
+            try:
+                x = fused_tail_chain(
+                    x,
+                    tuple(bb_params[f"block{j}"] for j in (12, 13, 14)),
+                    kernel_size=5, act="hardswish", dilation=2,
+                )
+                chain_consumed = True
+                cin = out
+                continue
+            except ValueError:
+                pass  # no tiling: fall through to per-block kernels
         exp_eff = int(p_blk["depthwise"]["conv"]["kernel"].shape[-1])
         fused_ok = False
-        if i in fused_ids and exp_eff == exp:
+        # the kernel reads its widths from the params, so slim (narrower-
+        # expansion) checkpoints take the same fused path as dense ones
+        if i in fused_ids:
             try:
                 x_f = fused_inverted_residual(
                     x, p_blk, kernel_size=k, stride=eff_stride, act=act,

@@ -2,10 +2,13 @@
 """Export CLI (reference: python train/export.py + onnx_fp16_converter.py).
 
 Creates a deployment package from a trained checkpoint:
-  model.onnx         fp32 ONNX graph (BN folded), reference IO contract
-  model_fp16.onnx    fp16 weights, fp32 I/O (the demo's model)
-  params.npz         raw state-dict export
-  model_info.json    IO contract + metrics + parity results
+  model.onnx          fp32 ONNX graph (BN folded), reference IO contract
+  model_fp16.onnx     fp16 weights, fp32 I/O (the demo's model)
+  model_int8.onnx     QDQ per-channel int8 weights
+  model_dynamic.onnx  fp32 with a symbolic batch axis (gated at b1 AND b4)
+  model.stablehlo     jax.export StableHLO + .json sidecar (<1e-5 self-test)
+  params.npz          raw state-dict export
+  model_info.json     IO contract + metrics + parity results
   README.md / inference_example.py
 
 Both ONNX files are verified against the source model with the reference's

@@ -264,6 +264,12 @@ def main() -> None:
                       "quadratic fit x += 0.5*(f[x+1]-f[x-1]) / "
                       "(2f[x]-f[x+1]-f[x-1]) per axis (interior peaks "
                       "only), then scale by (input_size-1)/(heatmap_size-1)",
+            "robustness": "if exactly one channel's peak value is < 0.2 "
+                          "while the other three are > 0.5 (a dead "
+                          "channel), reconstruct that corner as the "
+                          "parallelogram completion c[k] = c[k+1] + "
+                          "c[k-1] - c[k+2] of the live corners "
+                          "(ops/heatmap.py complete_dead_corner)",
         },
         "parameters": count_parameters(params),
         "opset": 19,

@@ -133,9 +133,16 @@ def decode_joint_nms(
     YOLO head's focal-trained per-corner confidences, where the same
     joint scheme took acc@5px from 98.9% to 99.9%): the identity-confused
     image only improved 430 -> 322 px while a few good corners regressed
-    to noise peaks via the collision penalty. HRNet consumers therefore
-    use :func:`decode_argmax_subpixel`; the YOLO anchor-domain analog
-    lives in models/yolo12_pose.py top1_detection."""
+    to noise peaks via the collision penalty. Round-4 measurement
+    sharpened the diagnosis: the real tail image has a DEAD channel
+    (global max 0.002), and its noise candidates poison the joint
+    assignment — sum(conf)-penalty happily sacrifices good corners to
+    dodge phantom collisions (321/295/243 px on three corners of the
+    tail image). HRNet consumers therefore use
+    :func:`decode_argmax_subpixel_gated`, which repairs dead channels
+    geometrically (:func:`complete_dead_corner`) and reserves this joint
+    decode for confident identity swaps only; the YOLO anchor-domain
+    analog lives in models/yolo12_pose.py top1_detection."""
     b, h, w, k = heatmaps.shape
     flat = heatmaps.astype(jnp.float32).reshape(b, h * w, k)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
@@ -231,30 +238,88 @@ def quad_plausible(
     return distinct & convex & (area >= min_area)
 
 
+def complete_dead_corner(
+    coords: jax.Array,
+    conf: jax.Array,
+    dead_conf: float = 0.2,
+    live_conf: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Parallelogram completion of a single dead corner channel.
+
+    When a corner channel produces (essentially) no activation anywhere —
+    the observed HRNet tail failure is a channel whose GLOBAL max is
+    ~0.002 while the other three corners sit at ~0.94 — no heatmap decode
+    can recover it: the joint-NMS assignment gets poisoned by the dead
+    channel's noise peaks (measured on the real failure: it dragged two
+    previously-perfect corners to 295/243 px errors). Geometry can: with
+    three confident corners, the fourth is reconstructed as
+    ``c[k] = c[k+1] + c[k-1] - c[k+2]`` (the affine/parallelogram
+    completion; exact up to the render's perspective component, measured
+    15.1 px on the real failure vs 413 px for the raw decode, and
+    mean 19 px across all corners of the eval set — a last resort, hence
+    the double confidence gate).
+
+    Fires per corner only when ``conf[k] < dead_conf``, every OTHER corner
+    clears ``live_conf``, and exactly one channel is dead (the measured
+    confidence distribution is bimodal: 0.94 vs 0.002, so the gate is
+    threshold-insensitive across 0.1-0.3 / 0.4-0.6). Coordinates may be
+    normalized or pixel-valued — completion is linear, so it commutes
+    with per-axis scaling. Returns (coords, fired (B, K) bool).
+    """
+    comp = (
+        jnp.roll(coords, -1, axis=1)
+        + jnp.roll(coords, 1, axis=1)
+        - jnp.roll(coords, 2, axis=1)
+    )
+    k = coords.shape[1]
+    dead = conf < dead_conf
+    others = jnp.where(jnp.eye(k, dtype=bool)[None], jnp.inf, conf[:, None, :])
+    others_live = jnp.min(others, axis=-1) > live_conf  # (B, K)
+    fire = dead & others_live & (jnp.sum(dead, axis=1, keepdims=True) == 1)
+    return jnp.where(fire[..., None], comp, coords), fire
+
+
 def decode_argmax_subpixel_gated(
     heatmaps: jax.Array,
     num_candidates: int = 3,
     collision_px: float = 6.0,
+    dead_conf: float = 0.2,
+    live_conf: float = 0.5,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Independent sub-pixel decode with a per-image plausibility-gated
+    """Independent sub-pixel decode with two per-image gated repairs:
+    dead-channel parallelogram completion, then a plausibility-gated
     fallback to the joint greedy-NMS decode.
 
     :func:`decode_argmax_subpixel` is the accuracy winner on well-formed
-    heatmaps (0.95 px mean on the HRNet eval) but decodes each channel
-    independently — its one observed failure mode is a corner channel
-    peaking on another corner's location (a ~320 px identity miss).
-    :func:`decode_joint_nms` fixes exactly that class but costs mean
-    accuracy when applied everywhere (1.23 px — see its STATUS). This
-    decode takes the independent result unless the decoded quadrilateral
-    fails :func:`quad_plausible` (in heatmap pixels), and only then swaps
-    in the joint assignment for that image. Whole-decode swap was the
-    wrong granularity (measured, round 3); the gate keeps the 0.95 px mean
-    and kills the identity tail. Both branches trace unconditionally (no
-    data-dependent control flow under jit); the joint decode is tiny
-    (n^K combos on K=4 channels).
+    heatmaps (0.94 px mean on the HRNet eval) but decodes each channel
+    independently. Two observed/anticipated failure classes and their
+    repairs, in order:
+
+    1. **Dead channel** (the real 1/384 eval tail: global channel max
+       0.002, decoded peak 413 px off): :func:`complete_dead_corner`
+       reconstructs the corner from the three live ones. Measured on the
+       full 384-image eval: mean 0.936 -> 0.677 px, max 413 -> 15.1 px,
+       acc@20px 100%. The joint-NMS fallback alone made this WORSE
+       (the dead channel's noise poisons the assignment: 321/295/243 px
+       errors on three corners — round-4 measurement).
+    2. **Confident identity swap** (a channel peaks hard on another
+       corner's location, no dead channel): completion cannot fire, the
+       quadrilateral fails :func:`quad_plausible`, and the image swaps to
+       :func:`decode_joint_nms`, whose secondary-peak assignment repairs
+       exactly this class.
+
+    Images whose completed quadrilateral passes the gate keep their
+    independent decode bit-identically. All branches trace
+    unconditionally (no data-dependent control flow under jit); both
+    repairs are tiny (K=4). Confidences are never rewritten by the
+    completion — a reconstructed corner keeps its honest (dead) score, so
+    detection-rate metrics still see the model's failure.
     """
     b, h, w, k = heatmaps.shape
     coords01, vals = decode_argmax_subpixel(heatmaps)
+    coords01, _ = complete_dead_corner(
+        coords01, vals, dead_conf=dead_conf, live_conf=live_conf
+    )
     scale = jnp.asarray([w - 1, h - 1], jnp.float32)
     ok = quad_plausible(coords01 * scale)
     jcoords01, jvals = decode_joint_nms(

@@ -281,6 +281,68 @@ def test_gated_decode_identical_on_clean_heatmaps():
     np.testing.assert_array_equal(np.asarray(vg), np.asarray(vs))
 
 
+def test_gated_decode_completes_dead_channel():
+    """The real HRNet eval tail (round 3/4): one corner channel produces
+    essentially NO activation anywhere (global max ~0.002) while the other
+    three are confident. The joint-NMS fallback measurably makes this
+    worse (noise candidates poison the assignment); the gated decode must
+    instead reconstruct the dead corner as the parallelogram completion of
+    the three live ones, keep the live corners bit-identical to the
+    independent decode, and keep the dead corner's honest confidence."""
+    true = np.array([[6.0, 4.0], [40.0, 6.0], [42.0, 26.0], [7.0, 25.0]],
+                    np.float32)
+    heat = np.array(jax.vmap(
+        lambda c: hm.gaussian_heatmaps(c, 32, 48, 1.5)
+    )(jnp.asarray(true)[None]))[0]
+    rng = np.random.default_rng(0)
+    heat[..., 0] = 0.002 * rng.random((32, 48)).astype(np.float32)  # dead TL
+    heat = jnp.asarray(heat[None])
+
+    cg, vg = hm.decode_argmax_subpixel_gated(heat)
+    px = np.asarray(hm.coords01_to_pixels(cg, (32, 48)))
+    # live corners: bit-identical to the independent decode
+    ci, vi = hm.decode_argmax_subpixel(heat)
+    pxi = np.asarray(hm.coords01_to_pixels(ci, (32, 48)))
+    np.testing.assert_array_equal(px[0, 1:], pxi[0, 1:])
+    # dead corner: parallelogram completion of the three live PREDICTIONS
+    expect = pxi[0, 1] + pxi[0, 3] - pxi[0, 2]
+    np.testing.assert_allclose(px[0, 0], expect, atol=1e-4)
+    assert np.abs(px[0, 0] - true[0]).max() < 2.0  # and near the truth
+    # honest confidence: the dead channel's score is NOT rewritten
+    assert float(np.asarray(vg)[0, 0]) < 0.01
+    # two dead channels: completion must not fire (underdetermined)
+    heat2 = np.asarray(heat)[0].copy()
+    heat2[..., 1] = 0.002 * rng.random((32, 48)).astype(np.float32)
+    c2, _ = hm.decode_argmax_subpixel_gated(jnp.asarray(heat2[None]))
+    # with two dead channels the quad gate may route to the joint decode;
+    # the completion itself must not have produced the parallelogram point
+    px2 = np.asarray(hm.coords01_to_pixels(c2, (32, 48)))
+    assert not np.allclose(px2[0, 0], expect, atol=1e-4) or not np.allclose(
+        px2[0, 1], pxi[0, 1], atol=1e-4)
+
+
+def test_complete_dead_corner_scaling_invariance():
+    """Completion commutes with per-axis scaling (it is linear), so gating
+    in normalized coords equals gating in pixels."""
+    coords = jnp.asarray(np.random.default_rng(1).random((3, 4, 2)), jnp.float32)
+    conf = jnp.asarray([[0.05, 0.9, 0.8, 0.95],
+                        [0.9, 0.9, 0.9, 0.9],
+                        [0.05, 0.9, 0.3, 0.95]], jnp.float32)
+    out, fired = hm.complete_dead_corner(coords, conf)
+    scale = jnp.asarray([639.0, 479.0])
+    out_px, fired_px = hm.complete_dead_corner(coords * scale, conf)
+    np.testing.assert_allclose(
+        np.asarray(out) * np.asarray(scale), np.asarray(out_px), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fired), np.asarray(fired_px))
+    # row 0 fires on exactly corner 0; row 1 nothing dead; row 2 has a
+    # sub-live companion (0.3) so the gate must hold fire
+    assert np.asarray(fired).tolist() == [
+        [True, False, False, False],
+        [False, False, False, False],
+        [False, False, False, False],
+    ]
+
+
 def test_gated_decode_repairs_identity_confusion():
     """The observed HRNet tail failure (one corner channel dominated by
     another corner's location) must route through the joint fallback and

@@ -25,6 +25,40 @@ KPT_COLLISION_PX = 24.0
 
 NMS_CANDIDATES = 3
 
+# quads below this area (input px^2) cannot be a card; keep in sync with
+# models/yolo12_pose.py KPT_MIN_AREA_PX2
+KPT_MIN_AREA_PX2 = 4.0 * KPT_COLLISION_PX ** 2
+
+
+def _canonicalize(kp: np.ndarray) -> np.ndarray:
+    """Sort (K, 3) [x, y, conf] rows by angle around the centroid, starting
+    at the smallest x+y — canonical TL TR BR BL image order."""
+    ctr = kp[:, :2].mean(axis=0)
+    ang = np.arctan2(kp[:, 1] - ctr[1], kp[:, 0] - ctr[0])
+    kp = kp[np.argsort(ang)]
+    start = int(np.argmin(kp[:, 0] + kp[:, 1]))
+    return np.roll(kp, -start, axis=0)
+
+
+def _quad_plausible(p: np.ndarray) -> bool:
+    """(4, 2) canonical-order corners -> does the quad look like a card?
+    Mirrors ops/heatmap.py quad_plausible: pairwise distinctness at the
+    collision radius, clockwise-convex winding (y-down), card-sized area."""
+    d2 = np.sum((p[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+    off = ~np.eye(len(p), dtype=bool)
+    if d2[off].min() < KPT_COLLISION_PX ** 2:
+        return False
+    e = np.roll(p, -1, axis=0) - p
+    en = np.roll(e, -1, axis=0)
+    cross = e[:, 0] * en[:, 1] - e[:, 1] * en[:, 0]
+    if not np.all(cross > 0):
+        return False
+    area = 0.5 * abs(
+        np.sum(p[:, 0] * np.roll(p, -1, axis=0)[:, 1]
+               - np.roll(p, -1, axis=0)[:, 0] * p[:, 1])
+    )
+    return bool(area >= KPT_MIN_AREA_PX2)
+
 
 def decode(output0: np.ndarray, num_keypoints: int = 4):
     """(1, 4+nc+3K, A) raw model output -> (box(4,), score, corners(K, 3)).
@@ -59,7 +93,10 @@ def decode(output0: np.ndarray, num_keypoints: int = 4):
             a = int(c.argmax())
             cand[ch, r] = (xy[a, 0], xy[a, 1], kpts[ch, 2, a])
             c[np.sum((xy - xy[a]) ** 2, axis=1) < KPT_COLLISION_PX ** 2] = -np.inf
-    # enumerate all n^K rank assignments; penalize coincident corners
+    # enumerate all n^K rank assignments; penalize coincident corners and
+    # gate on quad plausibility (the best *plausible* assignment wins; if
+    # none is plausible the ordering among implausible ones is preserved —
+    # mirrors models/yolo12_pose.py top1_detection)
     best_score, best_pick = -np.inf, None
     for c in range(n ** k):
         ranks, q = [], c
@@ -72,15 +109,12 @@ def decode(output0: np.ndarray, num_keypoints: int = 4):
         )
         collide = (d2 < KPT_COLLISION_PX ** 2) & ~np.eye(k, dtype=bool)
         s = pick[:, 2].sum() - 10.0 * collide.sum()
+        if not _quad_plausible(_canonicalize(pick)[:, :2]):
+            s -= 1e4
         if s > best_score:
             best_score, best_pick = s, pick
     kp = best_pick  # (K, 3)
 
     # canonical reorder: sort by angle around the centroid, start at the
     # point with the smallest x+y (top-left), i.e. TL TR BR BL
-    ctr = kp[:, :2].mean(axis=0)
-    ang = np.arctan2(kp[:, 1] - ctr[1], kp[:, 0] - ctr[0])
-    kp = kp[np.argsort(ang)]
-    start = int(np.argmin(kp[:, 0] + kp[:, 1]))
-    kp = np.roll(kp, -start, axis=0)
-    return box, score, kp
+    return box, score, _canonicalize(kp)

@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """Corner-detection inference CLI
-(reference: train-pose-estimation_custom/inference_test.py — preprocess,
-peak extraction w/ threshold, scale-to-original, visualization, timing).
+(reference: train-pose-estimation_custom/inference_test.py — dual backend
+.pth/.onnx with session fallback ladder :64-139, preprocess, peak
+extraction w/ threshold, scale-to-original, visualization, timing).
 
   python pose_inference.py --checkpoint ckpts/best_model --image card.jpg
   python pose_inference.py --checkpoint ckpts/best_model --synthetic 4
   python pose_inference.py --checkpoint runs/yolo/checkpoints/best_model \
       --family yolo --synthetic 4
+  python pose_inference.py --onnx runs/pose_full/exported --synthetic 2
+  python pose_inference.py --stablehlo runs/yolo_full_r4/exported \
+      --family yolo --synthetic 2
 
 --family yolo runs the same CLI against a YOLO12n-pose checkpoint (the
 reference splits this across inference_test.py and the ultralytics
 predict flow, *_yolo12n/model.py:215-264; here one CLI serves both).
+
+--onnx PATH executes a shipped ONNX artifact through the in-repo
+dependency-free executor instead of the checkpoint; a package DIRECTORY
+walks the int8 -> fp16 -> fp32 fallback ladder (the reference's fp16
+session ladder, inference_test.py:102-129). --stablehlo PATH executes the
+jax.export artifact. Both exist so a consumer can smoke-run every shipped
+deployment artifact from disk.
 """
 
 from __future__ import annotations
@@ -23,7 +34,14 @@ import time
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--onnx", default=None, metavar="PATH",
+                        help="run a shipped .onnx artifact (or walk a package "
+                             "directory's int8->fp16->fp32 ladder) instead of "
+                             "a checkpoint")
+    parser.add_argument("--stablehlo", default=None, metavar="PATH",
+                        help="run a shipped .stablehlo artifact (or the one "
+                             "inside a package directory)")
     parser.add_argument("--image", type=str, default=None, help="image file to run on")
     parser.add_argument("--synthetic", type=int, default=0, help="run on N synthetic samples")
     parser.add_argument("--config", type=str, default=None)
@@ -55,8 +73,63 @@ def main() -> None:
     if args.set:
         cfg = cfg.with_cli(args.set)
 
-    ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
-    if args.family == "yolo":
+    chosen = [n for n, v in (("--checkpoint", args.checkpoint),
+                             ("--onnx", args.onnx),
+                             ("--stablehlo", args.stablehlo)) if v]
+    if len(chosen) != 1:
+        parser.error("give exactly one of --checkpoint / --onnx / --stablehlo")
+
+    if args.onnx or args.stablehlo:
+        from mtg_card_image_segmentation_tpu.serving import artifact_backend
+
+        if args.onnx:
+            runner, chosen_path = artifact_backend.load_onnx(args.onnx, args.family)
+        else:
+            runner, chosen_path = artifact_backend.load_stablehlo(
+                args.stablehlo, args.family
+            )
+        print(f"loaded artifact {chosen_path} ({args.family})")
+        variables = None
+
+        if args.family == "hrnet":
+            h, w = cfg.pose.input_height, cfg.pose.input_width
+        else:
+            h = w = args.imgsz
+        # one jitted preprocess (eager per-op dispatch is pathologically
+        # slow on the remote-compile TPU relay)
+        _prep = jax.jit(
+            lambda im: jnp.transpose(bilinear_resize(im, h, w), (0, 3, 1, 2))
+        )
+
+        if args.family == "hrnet":
+            decode = jax.jit(hm_lib.decode_argmax_subpixel_gated)
+
+            def infer(_, images01):
+                heatmaps = np.transpose(
+                    runner(np.asarray(_prep(images01))), (0, 2, 3, 1)
+                )  # NHWK
+                coords01, conf = decode(heatmaps)
+                return coords01, conf, heatmaps
+
+        else:
+            from mtg_card_image_segmentation_tpu.export.yolo_client_decode import (
+                decode as client_decode,
+            )
+
+            def infer(_, images01):
+                h0, w0 = images01.shape[1:3]
+                _, _, kp = client_decode(
+                    runner(np.asarray(_prep(images01))), num_keypoints=4
+                )
+                # map back with the (size-1) convention, then to coords01
+                px0 = kp[:, :2] * np.asarray(
+                    [(w0 - 1) / (w - 1), (h0 - 1) / (h - 1)]
+                )
+                coords01 = px0 / np.asarray([w0 - 1.0, h0 - 1.0])
+                return coords01[None], kp[None, :, 2], None
+
+    elif args.family == "yolo":
+        ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
         if args.config or args.set:
             parser.error("--family yolo is configured by --imgsz/--threshold "
                          "only; --config/--set apply to the hrnet family")
@@ -85,6 +158,7 @@ def main() -> None:
             return px0 / jnp.array([w0 - 1.0, h0 - 1.0]), conf, None
 
     else:
+        ckpt_dir, name = os.path.split(os.path.normpath(args.checkpoint))
         model = registry.pose_from_config(cfg.pose)
         h, w = cfg.pose.input_height, cfg.pose.input_width
         # template-free params read — no init compile, no optimizer state

@@ -82,3 +82,17 @@ saved = ckpt_lib.save_checkpoint(ckpt_dir, "best_model", state, epoch=1)
 assert os.path.isdir(os.path.join(ckpt_dir, "best_model")), saved
 assert not os.path.isdir(os.path.join(ckpt_dir, "best_model.staging"))
 print("MPCKPT OK")
+
+# the other persistence direction (VERDICT r4 task 7): a checkpoint written
+# by a SINGLE process must restore under the 2-process cluster with every
+# array intact — the step above is deterministic, so the restored params
+# must equal this cluster's own post-step params exactly
+if len(sys.argv) > 3:
+    sp_params, _, _ = ckpt_lib.load_params(sys.argv[3], "sp_model")
+    restored_checksum = float(
+        sum(
+            jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32)))
+            for x in jax.tree_util.tree_leaves(sp_params)
+        )
+    )
+    print("MPRESTORE " + json.dumps({"checksum": restored_checksum}))

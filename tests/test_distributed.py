@@ -25,8 +25,19 @@ def _free_port() -> int:
     return port
 
 
-def _single_process_reference():
-    """Same step as tests/_mp_worker.py on this process's 8-device mesh."""
+def _checksum(tree) -> float:
+    return float(
+        sum(
+            jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32)))
+            for x in jax.tree_util.tree_leaves(tree)
+        )
+    )
+
+
+def _single_process_reference(save_dir=None):
+    """Same step as tests/_mp_worker.py on this process's 8-device mesh.
+    With ``save_dir``, also persists the post-step state as ``sp_model``
+    (the single-process side of the cross-topology checkpoint test)."""
     import tiny  # noqa: F401
 
     from mtg_card_image_segmentation_tpu.config import OptimizerConfig
@@ -48,24 +59,28 @@ def _single_process_reference():
     images_d, masks_d = shard_batch(mesh, images, masks)
     step = make_train_step(mesh=mesh, donate=False)
     state, stats = step(state, images_d, masks_d)
-    checksum = float(
-        sum(
-            jnp.sum(jnp.abs(x.astype(jnp.float32)))
-            for x in jax.tree_util.tree_leaves(state.params)
-        )
-    )
-    return float(stats["loss"]), checksum
+    if save_dir is not None:
+        from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
+
+        ckpt_lib.save_checkpoint(save_dir, "sp_model", state, epoch=1)
+    return float(stats["loss"]), _checksum(state.params)
 
 
-def test_two_process_step_matches_single_process():
+def test_two_process_step_matches_single_process(tmp_path):
     port = _free_port()
+
+    # single-process reference first: its checkpoint is restored INSIDE the
+    # cluster by the workers (single-save -> cluster-restore direction)
+    sp_dir = str(tmp_path / "sp_ckpt")
+    ref_loss, ref_checksum = _single_process_reference(save_dir=sp_dir)
+
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     worker = os.path.join(REPO, "tests", "_mp_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port)],
+            [sys.executable, worker, str(i), str(port), sp_dir],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -77,19 +92,40 @@ def test_two_process_step_matches_single_process():
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-4000:]
-    results = []
+    results, restores = [], []
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("MPRESULT ")]
         assert line, out[-4000:]
         results.append(json.loads(line[-1][len("MPRESULT "):]))
+        rline = [ln for ln in out.splitlines() if ln.startswith("MPRESTORE ")]
+        assert rline, out[-4000:]
+        restores.append(json.loads(rline[-1][len("MPRESTORE "):]))
 
     # both processes computed the same global step
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
     assert results[0]["checksum"] == pytest.approx(results[1]["checksum"], rel=1e-6)
 
-    ref_loss, ref_checksum = _single_process_reference()
     assert results[0]["loss"] == pytest.approx(ref_loss, rel=1e-5)
     assert results[0]["checksum"] == pytest.approx(ref_checksum, rel=1e-5)
+
+    # single-save -> cluster-restore: every worker restored the full
+    # parameter set (a half-written or half-read checkpoint changes the
+    # checksum)
+    for r in restores:
+        assert r["checksum"] == pytest.approx(ref_checksum, rel=1e-6)
+
+    # cluster-save -> single-process restore (VERDICT r4 task 7: catches
+    # "process 1 wrote half the arrays"): the checkpoint the 2-process
+    # cluster wrote collectively must restore whole in THIS process and
+    # match the reference step's parameters
+    from mtg_card_image_segmentation_tpu.training import checkpoint as ckpt_lib
+
+    mp_params, mp_stats, meta = ckpt_lib.load_params(
+        f"/tmp/mp_ckpt_{port}", "best_model"
+    )
+    assert meta.get("epoch") == 1
+    assert _checksum(mp_params) == pytest.approx(ref_checksum, rel=1e-6)
+    assert mp_stats is not None and jax.tree_util.tree_leaves(mp_stats)
 
 
 def test_process_shard_partitions():

@@ -331,17 +331,37 @@ def _ir_value(x, w, bt: int, h: int, wd: int, k: int, act: str,
     else:
         y = x.astype(jnp.bfloat16)
 
-    acc = None
+    # MTG_DW_SPLIT=n splits the k^2-term stencil accumulation into n
+    # channel chunks processed sequentially — the round-4 trace attributed
+    # ~1.4 ms of the tail to Mosaic register-spill traffic (132 MB of
+    # spill slots at bt=8 for the full-width chain); halving the live
+    # value width per chain halves the per-chunk register footprint at
+    # the cost of re-walking the shift pattern per chunk (shift bytes are
+    # unchanged in total). Default 1 = the round-4 single-chain path.
+    import os as _os
+
+    split = int(_os.environ.get("MTG_DW_SPLIT", "1"))
+    cexp = y.shape[-1]
+    if split <= 1 or cexp % split != 0:
+        split = 1
+    cw = cexp // split
     ks = range(-(k - 1) // 2, (k - 1) // 2 + 1)
-    for ix, dx in enumerate(ks):
-        yc = _shift2d(y, 0, dx * dilation) if dx else y
-        for iy, dy in enumerate(ks):
-            xs_ = _shift2d(yc, dy * dilation, 0) if dy else yc
-            term = xs_ * w["dw_k"][iy * k + ix][None, None, None, :].astype(
-                jnp.bfloat16
-            )
-            acc = (term.astype(jnp.float32) if acc is None
-                   else acc + term.astype(jnp.float32))
+    accs = []
+    for ci in range(split):
+        sl = slice(ci * cw, (ci + 1) * cw)
+        ysub = y[..., sl] if split > 1 else y
+        acc = None
+        for ix, dx in enumerate(ks):
+            yc = _shift2d(ysub, 0, dx * dilation) if dx else ysub
+            for iy, dy in enumerate(ks):
+                xs_ = _shift2d(yc, dy * dilation, 0) if dy else yc
+                term = xs_ * w["dw_k"][iy * k + ix][None, None, None, sl].astype(
+                    jnp.bfloat16
+                )
+                acc = (term.astype(jnp.float32) if acc is None
+                       else acc + term.astype(jnp.float32))
+        accs.append(acc)
+    acc = accs[0] if split == 1 else jnp.concatenate(accs, axis=-1)
     y = _act(acc + w["dw_b"][:][None, None, None, :], act).astype(jnp.bfloat16)
 
     if has_se:
@@ -403,6 +423,15 @@ def fused_tail_chain(
                      chain_cout == cout))  # residual if shapes allow
         cexp_max = max(cexp_max, cexp)
         chain_cout = cout
+    # MTG_CHAIN_BT=4|2|1 sweeps images-per-grid-step below the VMEM-auto
+    # choice (8 at 512^2): fewer live images shrink Mosaic's register
+    # working set (the round-4 spill diagnosis) at the cost of more grid
+    # steps. A/B lever only; default stays on the auto choice.
+    import os as _os
+
+    env_bt = _os.environ.get("MTG_CHAIN_BT")
+    if images_per_step is None and env_bt:
+        images_per_step = int(env_bt)
     bt = images_per_step or _pick_images_per_step(
         b, h, w, cin, cexp_max, chain_cout, stride=1,
         itemsize=x.dtype.itemsize,

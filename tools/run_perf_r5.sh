@@ -63,6 +63,14 @@ tail_cfg bt2 MTG_CHAIN_BT=2
 tail_cfg split2 MTG_DW_SPLIT=2
 tail_cfg split5 MTG_DW_SPLIT=5
 tail_cfg bt4_split2 MTG_CHAIN_BT=4 MTG_DW_SPLIT=2
+# --- task 8: root-cause the HRNet dead-channel eval failure
+note "dead-channel analysis"
+timeout 2400 python -u tools/analyze_dead_channel.py \
+  --checkpoint runs/pose_full/checkpoints/best_model \
+  --out runs/pose_full/eval/dead_channel_analysis \
+  > "$OUT/dead_channel.log" 2>&1
+note "dead-channel rc=$?"
+
 touch /tmp/perf_r5_done
 note "perf window done; starting seg"
 

@@ -71,6 +71,25 @@ timeout 2400 python -u tools/analyze_dead_channel.py \
   > "$OUT/dead_channel.log" 2>&1
 note "dead-channel rc=$?"
 
+# --- task 6 evidence: smoke-run every shipped pose/yolo artifact from disk
+# through the inference CLIs (checkpoint vs ONNX-ladder vs StableHLO on the
+# same deterministic probe images; logs keep the decoded corners for the
+# tolerance comparison)
+cli_smoke() {  # cli_smoke <log> <cmd...>
+  local log=$1; shift
+  note "cli $*"
+  timeout 1200 python -u "$@" >> "$OUT/$log" 2>&1
+  echo "### rc=$? cmd: $* ^^^" >> "$OUT/$log"
+}
+: > "$OUT/cli_smoke_pose.log"
+cli_smoke cli_smoke_pose.log pose_inference.py --checkpoint runs/pose_full/checkpoints/best_model --synthetic 2 --output-dir /tmp/cli_pose_ckpt
+cli_smoke cli_smoke_pose.log pose_inference.py --onnx runs/pose_full/exported --synthetic 2 --output-dir /tmp/cli_pose_onnx
+cli_smoke cli_smoke_pose.log pose_inference.py --stablehlo runs/pose_full/exported --synthetic 2 --output-dir /tmp/cli_pose_hlo
+: > "$OUT/cli_smoke_yolo.log"
+cli_smoke cli_smoke_yolo.log pose_inference.py --checkpoint runs/yolo_full_r4/checkpoints/best_model --family yolo --synthetic 2 --output-dir /tmp/cli_yolo_ckpt
+cli_smoke cli_smoke_yolo.log pose_inference.py --onnx runs/yolo_full_r4/exported --family yolo --synthetic 2 --output-dir /tmp/cli_yolo_onnx
+cli_smoke cli_smoke_yolo.log pose_inference.py --stablehlo runs/yolo_full_r4/exported --family yolo --synthetic 2 --output-dir /tmp/cli_yolo_hlo
+
 touch /tmp/perf_r5_done
 note "perf window done; starting seg"
 
@@ -123,5 +142,9 @@ run_retry 3 runs/seg_full/export_slim.out \
   python export_seg.py \
     --checkpoint runs/seg_full/pruned/pruned_model \
     --slim --output-dir runs/seg_full/exported_slim
+: > "$OUT/cli_smoke_seg.log"
+cli_smoke cli_smoke_seg.log seg_inference.py --checkpoint runs/seg_full/checkpoints/best_model --synthetic 2 --output-dir /tmp/cli_seg_ckpt
+cli_smoke cli_smoke_seg.log seg_inference.py --onnx runs/seg_full/exported --synthetic 2 --output-dir /tmp/cli_seg_onnx
+cli_smoke cli_smoke_seg.log seg_inference.py --stablehlo runs/seg_full/exported --synthetic 2 --output-dir /tmp/cli_seg_hlo
 touch /tmp/queue_r5_seg_done
 note "ALL DONE"

@@ -29,6 +29,11 @@ NMS_CANDIDATES = 3
 # models/yolo12_pose.py KPT_MIN_AREA_PX2
 KPT_MIN_AREA_PX2 = 4.0 * KPT_COLLISION_PX ** 2
 
+# models/yolo12_pose.py KPT_ORDER_BONUS (see its rationale: prefer
+# assignments already in canonical TL/TR/BR/BL identity order — the
+# channels are trained with those identities)
+KPT_ORDER_BONUS = 0.25
+
 
 def _canonicalize(kp: np.ndarray) -> np.ndarray:
     """Sort (K, 3) [x, y, conf] rows by angle around the centroid, starting
@@ -108,8 +113,15 @@ def decode(output0: np.ndarray, num_keypoints: int = 4):
             (pick[None, :, :2] - pick[:, None, :2]) ** 2, axis=-1
         )
         collide = (d2 < KPT_COLLISION_PX ** 2) & ~np.eye(k, dtype=bool)
-        s = pick[:, 2].sum() - 10.0 * collide.sum()
-        if not _quad_plausible(_canonicalize(pick)[:, :2]):
+        # joint log-likelihood scoring (mirrors models/yolo12_pose.py: a
+        # near-zero-conf corner must be near-fatal to a joint quad
+        # hypothesis; a plain conf SUM let a garbage corner ride three
+        # confident wrong-identity ones on the r5 frozen tail image)
+        s = np.log(np.maximum(pick[:, 2], 1e-6)).sum() - 10.0 * collide.sum()
+        can = _canonicalize(pick)
+        if np.all(np.sum((can[:, :2] - pick[:, :2]) ** 2, axis=-1) < 1.0):
+            s += KPT_ORDER_BONUS  # already in canonical identity order
+        if not _quad_plausible(can[:, :2]):
             s -= 1e4
         if s > best_score:
             best_score, best_pick = s, pick

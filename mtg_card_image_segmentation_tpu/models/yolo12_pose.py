@@ -342,6 +342,20 @@ KPT_COLLISION_PX = 24.0
 # used by the joint decode's plausibility gate, deliberately conservative
 KPT_MIN_AREA_PX2 = 4.0 * KPT_COLLISION_PX**2
 
+# Identity-order consistency bonus for the joint assignment. The corner
+# channels are TRAINED with canonical image-position identities (TL, TR,
+# BR, BL — preprocess_masks.py:196-223 order), so an assignment whose
+# points are ALREADY in canonical order agrees with the head's own
+# labeling; a rotated-identity assignment only exists because channels
+# mis-bound their labels and needs post-hoc canonicalization. Calibration
+# from the frozen r5 tail image (tests/fixtures/yolo_decode_fixture.npz):
+# the rotated-identity pick with one garbage corner outscored the true
+# in-order assignment by 0.096 conf (2.195 vs 2.099) — the bonus must
+# exceed such marginal gaps, but stay far below the >=0.5 conf advantage
+# genuinely-swapped predictions have (for those, canonicalize-after-pick
+# remains the correct repair and the bonus must not fight it).
+KPT_ORDER_BONUS = 0.25
+
 
 def decode_predictions(
     level_outputs: List[jax.Array],
@@ -441,7 +455,14 @@ def top1_detection(boxes, scores, kpts):
         masked = jnp.where(d2_a < KPT_COLLISION_PX**2, -jnp.inf, masked)
     i3 = jnp.stack(picks, axis=-1)  # (B, K, n_cand)
     cand = jnp.take_along_axis(flat, i3[..., None], axis=2)  # (B,K,n,3)
-    c3 = cand[..., 2]  # (B, K, n) original confidences
+    # assignment score = joint log-likelihood of the 4 corners, not the
+    # conf SUM. The r5 frozen tail image shows why: the rotated-identity
+    # assignment (three real corners bound to the wrong channels + one
+    # 0.073-conf garbage corner) out-SUMS the true assignment 2.195 vs
+    # 2.099, and both are plausible canonical quads — but a quad is a
+    # JOINT hypothesis, and a near-zero corner should be near-fatal to
+    # it: in log space the true assignment wins -2.83 vs -3.66.
+    c3 = jnp.log(jnp.maximum(cand[..., 2].astype(jnp.float32), 1e-6))
     digits = []
     for c in range(n_cand**k_dim):
         q, row = c, []
@@ -474,12 +495,25 @@ def top1_detection(boxes, scores, kpts):
 
     n_comb = combos.shape[0]
     flat_pick = pick.reshape(pick.shape[0] * n_comb, k_dim, 3)
+    can = canonicalize_corners(flat_pick)
     plaus = quad_plausible(
-        canonicalize_corners(flat_pick)[..., :2],
+        can[..., :2],
         min_dist=KPT_COLLISION_PX,
         min_area=KPT_MIN_AREA_PX2,
     ).reshape(pick.shape[0], n_comb)
-    score_c = conf_sum.astype(jnp.float32) - penalty
+    # KPT_ORDER_BONUS: prefer assignments already in canonical identity
+    # order (see the constant's rationale — fixes the r5 frozen tail image
+    # where a rotated-identity pick with a garbage 4th corner won the raw
+    # conf-sum by 0.096 and passed the plausibility gate)
+    in_order = jnp.all(
+        jnp.sum((can[..., :2] - flat_pick[..., :2]) ** 2, axis=-1) < 1.0,
+        axis=-1,
+    ).reshape(pick.shape[0], n_comb)
+    score_c = (
+        conf_sum.astype(jnp.float32)
+        - penalty
+        + KPT_ORDER_BONUS * in_order.astype(jnp.float32)
+    )
     best = jnp.argmax(jnp.where(plaus, score_c, score_c - 1e4), axis=1)  # (B,)
     kp = jnp.take_along_axis(
         pick, best[:, None, None, None], axis=1
